@@ -1,0 +1,423 @@
+"""Attention ops: Pallas TPU flash attention + jnp einsum fallback.
+
+TPU-native replacement for the reference's attention-kernel zoo
+(xformers memory_efficient_attention, torch SDPA, sliced attention:
+/root/reference/e4t/models/cross_attention.py:285-322,447-538,595-651).
+One kernel covers every sequence regime in this stack (UNet spatial
+self-attention <= 64^2 = 4096 tokens at 512px, cross-attention kv = 77
+text tokens, ViT 257 tokens), so no attention slicing is needed.
+
+Interface: tensors are (batch, heads, seq, head_dim) ["BHSD"].
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+_NEG_INF = -1e30
+
+
+def _use_interpret() -> bool:
+    """Run Pallas kernels in interpreter mode off-TPU (CPU test meshes)."""
+    import os
+    env = os.environ.get("E4T_PALLAS_INTERPRET", "auto")
+    if env == "auto":
+        return jax.default_backend() != "tpu"
+    return env not in ("0", "false", "False")
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Reference einsum attention (CPU tests / tiny sequences / causal masks)
+# ---------------------------------------------------------------------------
+
+def einsum_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: Optional[float] = None,
+    bias: Optional[jax.Array] = None,
+    causal: bool = False,
+) -> jax.Array:
+    """Plain softmax attention, numerically the parity baseline.
+
+    Matches the math of the reference CrossAttnProcessor
+    (/root/reference/e4t/models/cross_attention.py:285-322): fp32 softmax,
+    output cast back to q.dtype.
+    """
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    dtype = q.dtype
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    s = s * scale
+    if bias is not None:
+        s = s + bias.astype(jnp.float32)
+    if causal:
+        qlen, klen = s.shape[-2], s.shape[-1]
+        mask = jnp.tril(jnp.ones((qlen, klen), dtype=bool), k=klen - qlen)
+        s = jnp.where(mask, s, _NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(dtype), v)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention — forward
+# ---------------------------------------------------------------------------
+
+def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
+                      m_scr, l_scr, acc_scr,
+                      *, scale: float, kv_len: int, block_k: int):
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]  # (block_q, d)
+    k = k_ref[0]  # (block_k, d)
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (block_q, block_k)
+
+    if kv_len % block_k != 0:
+        # mask out zero-padded kv columns in the last block
+        col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, _NEG_INF)
+
+    m_prev = m_scr[:, :1]                      # (block_q, 1)
+    l_prev = l_scr[:, :1]
+    m_cur = jnp.max(s, axis=1, keepdims=True)  # (block_q, 1)
+    m_next = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_next)                    # (block_q, block_k)
+    l_cur = jnp.sum(p, axis=1, keepdims=True)
+    alpha = jnp.exp(m_prev - m_next)           # (block_q, 1)
+    l_next = alpha * l_prev + l_cur
+
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_scr[:] = jnp.broadcast_to(m_next, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_next, l_scr.shape)
+
+    @pl.when(j == nk - 1)
+    def _():
+        l = l_scr[:, :1]
+        inv = jnp.where(l > 0.0, 1.0 / l, 0.0)
+        o_ref[0] = (acc_scr[:] * inv).astype(o_ref.dtype)
+        lse = m_scr[:, :1] + jnp.log(jnp.maximum(l, 1e-37))
+        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+
+
+def _flash_fwd(q, k, v, scale, block_q, block_k):
+    """q: (BH, Sq, D), k/v: (BH, Sk, D); D, Sq, Sk already padded."""
+    bh, sq, d = q.shape
+    sk = k.shape[1]
+    nq, nk = sq // block_q, pl.cdiv(sk, block_k)
+    sk_pad = _round_up(sk, block_k)
+    if sk_pad != sk:
+        k = jnp.pad(k, ((0, 0), (0, sk_pad - sk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, sk_pad - sk), (0, 0)))
+
+    grid = (bh, nq, nk)
+    out, lse = pl.pallas_call(
+        functools.partial(_flash_fwd_kernel, scale=scale, kv_len=sk,
+                          block_k=block_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, _LANES), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, sq, _LANES), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * sq * sk * d,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=bh * sq * sk,
+        ),
+        interpret=_use_interpret(),
+    )(q, k, v)
+    return out, lse[:, :, 0]
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention — backward
+# ---------------------------------------------------------------------------
+
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                         dq_ref, dq_scr,
+                         *, scale: float, kv_len: int, block_k: int):
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0][:, :1]      # (block_q, 1)
+    delta = delta_ref[0][:, :1]  # (block_q, 1)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    if kv_len % block_k != 0:
+        col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, _NEG_INF)
+    p = jnp.exp(s - lse)  # (block_q, block_k)
+
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p * (dp - delta) * scale
+    dq_scr[:] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == nk - 1)
+    def _():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                          dk_ref, dv_ref, dk_scr, dv_scr,
+                          *, scale: float, kv_len: int, block_k: int):
+    i = pl.program_id(2)  # q-block index iterates innermost
+    nq = pl.num_programs(2)
+    j = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0][:, :1]
+    delta = delta_ref[0][:, :1]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    if kv_len % block_k != 0:
+        col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, _NEG_INF)
+    p = jnp.exp(s - lse)  # (block_q, block_k)
+
+    dv_scr[:] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (block_k, d)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p * (dp - delta) * scale  # (block_q, block_k)
+    dk_scr[:] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (block_k, d)
+
+    @pl.when(i == nq - 1)
+    def _():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd(res, g, scale, block_q, block_k):
+    q, k, v, out, lse = res
+    bh, sq, d = q.shape
+    sk = k.shape[1]
+    sk_pad = _round_up(sk, block_k)
+    if sk_pad != sk:
+        k = jnp.pad(k, ((0, 0), (0, sk_pad - sk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, sk_pad - sk), (0, 0)))
+    nq, nk = sq // block_q, sk_pad // block_k
+
+    delta = jnp.sum(out.astype(jnp.float32) * g.astype(jnp.float32), axis=-1)
+    lse_b = jnp.broadcast_to(lse[..., None], (bh, sq, _LANES))
+    delta_b = jnp.broadcast_to(delta[..., None], (bh, sq, _LANES))
+
+    common_in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_q, _LANES), lambda b, i, j: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_q, _LANES), lambda b, i, j: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, scale=scale, kv_len=sk,
+                          block_k=block_k),
+        grid=(bh, nq, nk),
+        in_specs=common_in_specs,
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        interpret=_use_interpret(),
+    )(q, k, v, g, lse_b, delta_b)
+
+    # dk/dv: swap loop order — kv blocks outer, q blocks inner.
+    dkv_in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_q, _LANES), lambda b, j, i: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_q, _LANES), lambda b, j, i: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale, kv_len=sk,
+                          block_k=block_k),
+        grid=(bh, nk, nq),
+        in_specs=dkv_in_specs,
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, sk_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, sk_pad, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        interpret=_use_interpret(),
+    )(q, k, v, g, lse_b, delta_b)
+    if sk_pad != sk:
+        dk = dk[:, :sk]
+        dv = dv[:, :sk]
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper over padded (BH, S, D) layout
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_attention_padded(q, k, v, scale, block_q, block_k):
+    out, _ = _flash_fwd(q, k, v, scale, block_q, block_k)
+    return out
+
+
+def _flash_attention_padded_fwd(q, k, v, scale, block_q, block_k):
+    out, lse = _flash_fwd(q, k, v, scale, block_q, block_k)
+    return out, (q, k, v, out, lse)
+
+
+def _flash_attention_padded_bwd(scale, block_q, block_k, res, g):
+    return _flash_bwd(res, g, scale, block_q, block_k)
+
+
+_flash_attention_padded.defvjp(_flash_attention_padded_fwd,
+                               _flash_attention_padded_bwd)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: Optional[float] = None,
+    block_q: int = 256,
+    block_k: int = 256,
+) -> jax.Array:
+    """Flash attention on (B, H, S, D) tensors. No mask support (see module
+    docstring — nothing in this stack needs masks at flash sizes; the causal
+    77-token CLIP text path uses einsum_attention)."""
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+
+    d_pad = _round_up(d, _LANES)
+    block_q = min(block_q, _round_up(sq, 128))
+    block_k = min(block_k, _round_up(sk, 128))
+    sq_pad = _round_up(sq, block_q)
+
+    qf = q.reshape(b * h, sq, d)
+    kf = k.reshape(b * h, sk, d)
+    vf = v.reshape(b * h, sk, d)
+    if d_pad != d:
+        qf = jnp.pad(qf, ((0, 0), (0, 0), (0, d_pad - d)))
+        kf = jnp.pad(kf, ((0, 0), (0, 0), (0, d_pad - d)))
+        vf = jnp.pad(vf, ((0, 0), (0, 0), (0, d_pad - d)))
+    if sq_pad != sq:
+        qf = jnp.pad(qf, ((0, 0), (0, sq_pad - sq), (0, 0)))
+
+    out = _flash_attention_padded(qf, kf, vf, scale, block_q, block_k)
+    out = out[:, :sq, :d].reshape(b, h, sq, d)
+    return out
+
+
+def dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: Optional[float] = None,
+    bias: Optional[jax.Array] = None,
+    causal: bool = False,
+    use_flash: Optional[bool] = None,
+) -> jax.Array:
+    """Dispatcher: Pallas flash attention on TPU, einsum elsewhere.
+
+    q/k/v: (batch, heads, seq, head_dim).
+    """
+    if use_flash is None:
+        use_flash = (
+            jax.default_backend() == "tpu"
+            and bias is None
+            and not causal
+            and q.shape[2] >= 128
+        )
+    if use_flash and bias is None and not causal:
+        return flash_attention(q, k, v, scale=scale)
+    return einsum_attention(q, k, v, scale=scale, bias=bias, causal=causal)

@@ -1,0 +1,77 @@
+"""Attention kernel tests: einsum vs torch SDPA oracle; flash vs einsum."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn.functional as F
+
+from e4t_diffusion_tpu.ops.attention import (
+    einsum_attention,
+    flash_attention,
+    dot_product_attention,
+)
+
+
+def _rand(shape, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(shape).astype(np.float32)
+
+
+@pytest.mark.parametrize("sq,sk,d", [(64, 64, 40), (77, 77, 64), (128, 77, 80)])
+def test_einsum_matches_torch_sdpa(sq, sk, d):
+    q, k, v = _rand((2, 4, sq, d), 0), _rand((2, 4, sk, d), 1), _rand((2, 4, sk, d), 2)
+    ours = einsum_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    theirs = F.scaled_dot_product_attention(
+        torch.from_numpy(q), torch.from_numpy(k), torch.from_numpy(v)
+    ).numpy()
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=2e-5, rtol=2e-5)
+
+
+def test_einsum_causal_matches_torch():
+    q, k, v = _rand((1, 2, 77, 64), 0), _rand((1, 2, 77, 64), 1), _rand((1, 2, 77, 64), 2)
+    ours = einsum_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), causal=True)
+    theirs = F.scaled_dot_product_attention(
+        torch.from_numpy(q), torch.from_numpy(k), torch.from_numpy(v), is_causal=True
+    ).numpy()
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize(
+    "sq,sk,d",
+    [
+        (256, 256, 40),   # UNet self-attention shape (head dim padded 40->128)
+        (256, 77, 160),   # UNet cross-attention: kv = 77 text tokens
+        (384, 384, 80),   # ViT-ish, uneven q blocks
+        (257, 257, 80),   # ViT-H token count (padding on both axes)
+    ],
+)
+def test_flash_matches_einsum(sq, sk, d):
+    q, k, v = _rand((1, 2, sq, d), 3), _rand((1, 2, sk, d), 4), _rand((1, 2, sk, d), 5)
+    q, k, v = jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+    ref = einsum_attention(q, k, v)
+    out = flash_attention(q, k, v, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_flash_gradients_match_einsum():
+    q, k, v = (jnp.asarray(_rand((1, 2, 128, 64), s)) for s in (6, 7, 8))
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, block_q=128, block_k=128)
+        return jnp.sum(jnp.sin(o))
+
+    def loss_ref(q, k, v):
+        o = einsum_attention(q, k, v)
+        return jnp.sum(jnp.sin(o))
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+
+def test_dispatcher_cpu_falls_back():
+    q = jnp.asarray(_rand((1, 1, 16, 8)))
+    out = dot_product_attention(q, q, q)
+    assert out.shape == q.shape
