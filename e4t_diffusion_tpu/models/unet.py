@@ -1,0 +1,486 @@
+"""Stable Diffusion v1 UNet (UNet2DConditionModel) in flax.linen, TPU-first.
+
+Functional re-design of the reference's forked diffusers UNet
+(/root/reference/e4t/models/unet_2d_condition.py:30-562 and the block zoo in
+unet_2d_blocks.py) with the E4T additions:
+
+- ``return_encoder_outputs``: early exit after the mid block returning the
+  down-block residual samples + mid output (the 10,880-dim E4T feature tap,
+  /root/reference/e4t/models/unet_2d_condition.py:517-521).
+- attention projections are plain kernels; the E4T weight offsets are
+  folded in *outside* the module (see models/weight_offsets.py), so the
+  module itself stays a pure function of (params, inputs).
+
+TPU-first choices: NHWC activations internally (XLA:TPU's native conv
+layout; NCHW only at the API boundary for reference parity), attention via
+the Pallas flash kernel dispatcher, no attention slicing (flash covers all
+sequence sizes), static shapes throughout so the whole denoise loop jits
+into one XLA program.
+
+Module names mirror diffusers' state-dict naming (dots -> per-level module
+nesting) so the torch->flax checkpoint converter is mechanical and key
+parity can be asserted strictly (/root/reference/e4t/utils.py:121-125).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from e4t_diffusion_tpu.ops.attention import dot_product_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    """SD v1 UNet hyperparameters (defaults = SD v1-4/v1-5)."""
+    sample_size: int = 64
+    in_channels: int = 4
+    out_channels: int = 4
+    center_input_sample: bool = False
+    down_block_types: Tuple[str, ...] = (
+        "CrossAttnDownBlock2D",
+        "CrossAttnDownBlock2D",
+        "CrossAttnDownBlock2D",
+        "DownBlock2D",
+    )
+    mid_block_type: str = "UNetMidBlock2DCrossAttn"
+    up_block_types: Tuple[str, ...] = (
+        "UpBlock2D",
+        "CrossAttnUpBlock2D",
+        "CrossAttnUpBlock2D",
+        "CrossAttnUpBlock2D",
+    )
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    attention_head_dim: int = 8  # = number of heads (diffusers v0.14 naming)
+    cross_attention_dim: int = 768
+    norm_num_groups: int = 32
+    norm_eps: float = 1e-5
+    flip_sin_to_cos: bool = True
+    freq_shift: int = 0
+
+    @classmethod
+    def tiny(cls, cross_attention_dim: int = 32) -> "UNetConfig":
+        """Small config for tests."""
+        return cls(
+            sample_size=8,
+            block_out_channels=(32, 64),
+            down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+            up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+            layers_per_block=1,
+            attention_head_dim=4,
+            cross_attention_dim=cross_attention_dim,
+            norm_num_groups=8,
+        )
+
+
+def get_timestep_embedding(
+    timesteps: jax.Array,
+    embedding_dim: int,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+    max_period: int = 10000,
+) -> jax.Array:
+    """Sinusoidal timestep embeddings, matching diffusers' formulation."""
+    half_dim = embedding_dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half_dim, dtype=jnp.float32)
+    exponent = exponent / (half_dim - downscale_freq_shift)
+    emb = jnp.exp(exponent)
+    emb = timesteps.astype(jnp.float32)[:, None] * emb[None, :]
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+    if flip_sin_to_cos:
+        emb = jnp.concatenate([emb[:, half_dim:], emb[:, :half_dim]], axis=-1)
+    if embedding_dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class TimestepEmbedding(nn.Module):
+    time_embed_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t_emb):
+        x = nn.Dense(self.time_embed_dim, dtype=self.dtype, name="linear_1")(t_emb)
+        x = nn.silu(x)
+        x = nn.Dense(self.time_embed_dim, dtype=self.dtype, name="linear_2")(x)
+        return x
+
+
+class ResnetBlock2D(nn.Module):
+    out_channels: int
+    use_shortcut: bool
+    groups: int = 32
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb):
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+                         dtype=self.dtype, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv1")(h)
+        t = nn.Dense(self.out_channels, dtype=self.dtype,
+                     name="time_emb_proj")(nn.silu(temb))
+        h = h + t[:, None, None, :]
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+                         dtype=self.dtype, name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv2")(h)
+        if self.use_shortcut:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                        name="conv_shortcut")(x)
+        return x + h
+
+
+class Attention(nn.Module):
+    """Multi-head attention with plain q/k/v/out kernels.
+
+    Offset-free by construction: W_eff folding happens on the param pytree
+    (models/weight_offsets.py) before apply.
+    """
+    heads: int
+    dim_head: int
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        context = x if context is None else context
+        inner = self.heads * self.dim_head
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        b, sq = q.shape[0], q.shape[1]
+        sk = k.shape[1]
+        q = q.reshape(b, sq, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+        k = k.reshape(b, sk, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+        v = v.reshape(b, sk, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+        o = dot_product_attention(q, k, v, scale=1.0 / math.sqrt(self.dim_head))
+        o = o.transpose(0, 2, 1, 3).reshape(b, sq, inner)
+        o = nn.Dense(self.out_dim, dtype=self.dtype, name="to_out_0")(o)
+        return o
+
+
+class FeedForward(nn.Module):
+    """GEGLU feed-forward (diffusers FeedForward with geglu activation)."""
+    dim: int
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inner = self.dim * self.mult
+        proj = nn.Dense(inner * 2, dtype=self.dtype, name="net_0_proj")(x)
+        hidden, gate = jnp.split(proj, 2, axis=-1)
+        x = hidden * jax.nn.gelu(gate, approximate=False)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="net_2")(x)
+        return x
+
+
+class BasicTransformerBlock(nn.Module):
+    dim: int
+    heads: int
+    dim_head: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context):
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        x = Attention(self.heads, self.dim_head, self.dim, dtype=self.dtype,
+                      name="attn1")(h) + x
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        x = Attention(self.heads, self.dim_head, self.dim, dtype=self.dtype,
+                      name="attn2")(h, context) + x
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
+        x = FeedForward(self.dim, dtype=self.dtype, name="ff")(h) + x
+        return x
+
+
+class Transformer2DModel(nn.Module):
+    """Spatial transformer: GN -> 1x1 conv in -> blocks -> 1x1 conv out + res."""
+    heads: int
+    dim_head: int
+    depth: int = 1
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context):
+        b, h, w, c = x.shape
+        inner = self.heads * self.dim_head
+        residual = x
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
+                         dtype=self.dtype, name="norm")(x)
+        x = nn.Conv(inner, (1, 1), dtype=self.dtype, name="proj_in")(x)
+        x = x.reshape(b, h * w, inner)
+        for i in range(self.depth):
+            x = BasicTransformerBlock(inner, self.heads, self.dim_head,
+                                      dtype=self.dtype,
+                                      name=f"transformer_blocks_{i}")(x, context)
+        x = x.reshape(b, h, w, inner)
+        x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(x)
+        return x + residual
+
+
+class Downsample2D(nn.Module):
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.channels, (3, 3), strides=(2, 2), padding=1,
+                       dtype=self.dtype, name="conv")(x)
+
+
+class Upsample2D(nn.Module):
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype,
+                       name="conv")(x)
+
+
+class CrossAttnDownBlock2D(nn.Module):
+    out_channels: int
+    in_channels: int
+    num_layers: int
+    heads: int
+    add_downsample: bool
+    groups: int
+    eps: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb, context):
+        res = []
+        for i in range(self.num_layers):
+            in_ch = self.in_channels if i == 0 else self.out_channels
+            x = ResnetBlock2D(self.out_channels, in_ch != self.out_channels,
+                              self.groups, self.eps, dtype=self.dtype,
+                              name=f"resnets_{i}")(x, temb)
+            x = Transformer2DModel(self.heads, self.out_channels // self.heads,
+                                   groups=self.groups, dtype=self.dtype,
+                                   name=f"attentions_{i}")(x, context)
+            res.append(x)
+        if self.add_downsample:
+            x = Downsample2D(self.out_channels, dtype=self.dtype,
+                             name="downsamplers_0")(x)
+            res.append(x)
+        return x, res
+
+
+class DownBlock2D(nn.Module):
+    out_channels: int
+    in_channels: int
+    num_layers: int
+    add_downsample: bool
+    groups: int
+    eps: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb):
+        res = []
+        for i in range(self.num_layers):
+            in_ch = self.in_channels if i == 0 else self.out_channels
+            x = ResnetBlock2D(self.out_channels, in_ch != self.out_channels,
+                              self.groups, self.eps, dtype=self.dtype,
+                              name=f"resnets_{i}")(x, temb)
+            res.append(x)
+        if self.add_downsample:
+            x = Downsample2D(self.out_channels, dtype=self.dtype,
+                             name="downsamplers_0")(x)
+            res.append(x)
+        return x, res
+
+
+class UNetMidBlock2DCrossAttn(nn.Module):
+    channels: int
+    heads: int
+    groups: int
+    eps: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb, context):
+        x = ResnetBlock2D(self.channels, False, self.groups, self.eps,
+                          dtype=self.dtype, name="resnets_0")(x, temb)
+        x = Transformer2DModel(self.heads, self.channels // self.heads,
+                               groups=self.groups, dtype=self.dtype,
+                               name="attentions_0")(x, context)
+        x = ResnetBlock2D(self.channels, False, self.groups, self.eps,
+                          dtype=self.dtype, name="resnets_1")(x, temb)
+        return x
+
+
+class CrossAttnUpBlock2D(nn.Module):
+    out_channels: int
+    prev_output_channel: int
+    skip_channels: Tuple[int, ...]  # per-resnet skip channel count
+    num_layers: int
+    heads: int
+    add_upsample: bool
+    groups: int
+    eps: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, res_samples, temb, context):
+        for i in range(self.num_layers):
+            in_ch = (self.prev_output_channel if i == 0 else self.out_channels)
+            skip = res_samples.pop()
+            x = jnp.concatenate([x, skip], axis=-1)
+            x = ResnetBlock2D(self.out_channels, True, self.groups, self.eps,
+                              dtype=self.dtype, name=f"resnets_{i}")(x, temb)
+            x = Transformer2DModel(self.heads, self.out_channels // self.heads,
+                                   groups=self.groups, dtype=self.dtype,
+                                   name=f"attentions_{i}")(x, context)
+        if self.add_upsample:
+            x = Upsample2D(self.out_channels, dtype=self.dtype,
+                           name="upsamplers_0")(x)
+        return x
+
+
+class UpBlock2D(nn.Module):
+    out_channels: int
+    prev_output_channel: int
+    skip_channels: Tuple[int, ...]
+    num_layers: int
+    add_upsample: bool
+    groups: int
+    eps: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, res_samples, temb):
+        for i in range(self.num_layers):
+            skip = res_samples.pop()
+            x = jnp.concatenate([x, skip], axis=-1)
+            x = ResnetBlock2D(self.out_channels, True, self.groups, self.eps,
+                              dtype=self.dtype, name=f"resnets_{i}")(x, temb)
+        if self.add_upsample:
+            x = Upsample2D(self.out_channels, dtype=self.dtype,
+                           name="upsamplers_0")(x)
+        return x
+
+
+class UNet2DConditionModel(nn.Module):
+    """The full conditioned UNet.
+
+    __call__(sample_nchw, timesteps, encoder_hidden_states,
+             return_encoder_outputs=False)
+      -> eps prediction (NCHW), or the E4T tap: a list of spatially
+         mean-pooled down-block features + mid output whose concatenation
+         is 10,880-dim for SD v1
+         (/root/reference/e4t/models/unet_2d_condition.py:581-586).
+    """
+    config: UNetConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, sample, timesteps, encoder_hidden_states,
+                 return_encoder_outputs: bool = False):
+        cfg = self.config
+        if timesteps.ndim == 0:
+            timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
+
+        # NCHW (API parity with the reference) -> NHWC (TPU-native)
+        x = jnp.transpose(sample, (0, 2, 3, 1)).astype(self.dtype)
+        context = encoder_hidden_states.astype(self.dtype)
+
+        if cfg.center_input_sample:
+            x = 2.0 * x - 1.0
+
+        t_emb = get_timestep_embedding(
+            timesteps, cfg.block_out_channels[0],
+            cfg.flip_sin_to_cos, cfg.freq_shift).astype(self.dtype)
+        temb = TimestepEmbedding(cfg.block_out_channels[0] * 4,
+                                 dtype=self.dtype,
+                                 name="time_embedding")(t_emb)
+
+        x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1,
+                    dtype=self.dtype, name="conv_in")(x)
+
+        heads = cfg.attention_head_dim
+        down_res = [x]
+        out_ch = cfg.block_out_channels[0]
+        for bi, btype in enumerate(cfg.down_block_types):
+            in_ch, out_ch = out_ch, cfg.block_out_channels[bi]
+            is_final = bi == len(cfg.down_block_types) - 1
+            if btype == "CrossAttnDownBlock2D":
+                x, res = CrossAttnDownBlock2D(
+                    out_ch, in_ch, cfg.layers_per_block, heads,
+                    add_downsample=not is_final, groups=cfg.norm_num_groups,
+                    eps=cfg.norm_eps, dtype=self.dtype,
+                    name=f"down_blocks_{bi}")(x, temb, context)
+            elif btype == "DownBlock2D":
+                x, res = DownBlock2D(
+                    out_ch, in_ch, cfg.layers_per_block,
+                    add_downsample=not is_final, groups=cfg.norm_num_groups,
+                    eps=cfg.norm_eps, dtype=self.dtype,
+                    name=f"down_blocks_{bi}")(x, temb)
+            else:
+                raise ValueError(f"Unsupported down block {btype}")
+            down_res.extend(res)
+
+        x = UNetMidBlock2DCrossAttn(
+            cfg.block_out_channels[-1], heads, cfg.norm_num_groups,
+            cfg.norm_eps, dtype=self.dtype, name="mid_block")(x, temb, context)
+
+        if return_encoder_outputs:
+            # E4T tap: all down-block residuals + mid output (NHWC), to be
+            # spatially mean-pooled by the E4T encoder. Matches the CompVis
+            # convention (/root/reference/e4t/models/unet_2d_condition.py:517-521).
+            return down_res + [x]
+
+        rev_channels = list(reversed(cfg.block_out_channels))
+        prev_ch = cfg.block_out_channels[-1]
+        for bi, btype in enumerate(cfg.up_block_types):
+            out_ch = rev_channels[bi]
+            is_final = bi == len(cfg.up_block_types) - 1
+            n_layers = cfg.layers_per_block + 1
+            res = down_res[-n_layers:]
+            down_res = down_res[:-n_layers]
+            if btype == "CrossAttnUpBlock2D":
+                x = CrossAttnUpBlock2D(
+                    out_ch, prev_ch, (), n_layers, heads,
+                    add_upsample=not is_final, groups=cfg.norm_num_groups,
+                    eps=cfg.norm_eps, dtype=self.dtype,
+                    name=f"up_blocks_{bi}")(x, res, temb, context)
+            elif btype == "UpBlock2D":
+                x = UpBlock2D(
+                    out_ch, prev_ch, (), n_layers,
+                    add_upsample=not is_final, groups=cfg.norm_num_groups,
+                    eps=cfg.norm_eps, dtype=self.dtype,
+                    name=f"up_blocks_{bi}")(x, res, temb)
+            else:
+                raise ValueError(f"Unsupported up block {btype}")
+            prev_ch = out_ch
+
+        x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=cfg.norm_eps,
+                         dtype=self.dtype, name="conv_norm_out")(x)
+        x = nn.silu(x)
+        x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv_out")(x)
+        return jnp.transpose(x, (0, 3, 1, 2))  # NHWC -> NCHW
+
+
+def pool_encoder_features(down_block_samples: Sequence[jax.Array]) -> jax.Array:
+    """Spatial mean-pool + concat the E4T tap -> (B, 10880) for SD v1.
+
+    Mirrors /root/reference/e4t/encoder.py:147-148 (NHWC here, so pool over
+    axes 1, 2).
+    """
+    pooled = [s.mean(axis=(1, 2)) for s in down_block_samples]
+    return jnp.concatenate(pooled, axis=-1)
