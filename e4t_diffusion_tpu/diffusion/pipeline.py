@@ -1,0 +1,283 @@
+"""StableDiffusionE4TPipeline — TPU-native E4T sampling.
+
+Functional redesign of the reference pipeline
+(/root/reference/e4t/pipeline_stable_diffusion_e4t.py:30-250). Per denoise
+step the reference runs: UNet encoder-half -> full ViT-H -> CLIP text ->
+batch-doubled full UNet, re-evaluating all 96 weight-offset hypernetworks
+inside every attention call. Here the whole loop is ONE jitted lax.scan
+with three structural speedups that are mathematically identity-preserving:
+
+1. Weight offsets folded into effective UNet kernels once per call
+   (models/weight_offsets.py) — not per attention call per step.
+2. The ViT-H image branch hoisted out of the loop (its input image is
+   constant across steps; only the fusion head sees per-step UNet feats).
+3. The text-encoder "" (uncond) states computed once, reused as both the
+   E4T conditioning input and the CFG uncond branch — exactly the
+   reference's semantics (pipeline:81,201).
+
+CFG batch doubling, per-step E4T word-embedding injection, and scheduler
+numerics follow the reference loop (pipeline:181-222) step for step.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional, Sequence, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from e4t_diffusion_tpu.models.unet import (
+    UNet2DConditionModel, UNetConfig, pool_encoder_features)
+from e4t_diffusion_tpu.models.vae import AutoencoderKL, VAEConfig
+from e4t_diffusion_tpu.models.clip_text import (
+    CLIPTextModel, CLIPTextConfig, embed_tokens)
+from e4t_diffusion_tpu.models.e4t_encoder import E4TEncoder, E4TEncoderConfig
+from e4t_diffusion_tpu.models import weight_offsets as wo
+from e4t_diffusion_tpu.diffusion.schedulers import (
+    NoiseScheduleConfig, DDIMScheduler, SCHEDULER_MAPPING)
+
+
+@dataclasses.dataclass
+class E4TModules:
+    """Model bundle: modules (static) + params (pytrees)."""
+    unet: UNet2DConditionModel
+    vae: AutoencoderKL
+    text_encoder: CLIPTextModel
+    e4t_encoder: E4TEncoder
+
+    @classmethod
+    def create(cls,
+               unet_config: UNetConfig = None,
+               vae_config: VAEConfig = None,
+               text_config: CLIPTextConfig = None,
+               e4t_config: E4TEncoderConfig = None,
+               dtype=jnp.float32) -> "E4TModules":
+        return cls(
+            unet=UNet2DConditionModel(unet_config or UNetConfig(), dtype=dtype),
+            vae=AutoencoderKL(vae_config or VAEConfig(), dtype=dtype),
+            text_encoder=CLIPTextModel(text_config or CLIPTextConfig(),
+                                       dtype=dtype),
+            e4t_encoder=E4TEncoder(e4t_config or E4TEncoderConfig(),
+                                   dtype=dtype),
+        )
+
+    @classmethod
+    def tiny(cls, dtype=jnp.float32) -> "E4TModules":
+        """Matched tiny configs for tests: UNet tap dim feeds the encoder."""
+        ucfg = UNetConfig.tiny()
+        tcfg = CLIPTextConfig.tiny()
+        tap_dim = 32 + 32 + 32 + 64 + 64  # conv_in + block res + mid (tiny)
+        ecfg = E4TEncoderConfig.tiny(word_embedding_dim=tcfg.hidden_size,
+                                     unet_feature_dim=tap_dim)
+        return cls(
+            unet=UNet2DConditionModel(ucfg, dtype=dtype),
+            vae=AutoencoderKL(VAEConfig.tiny(), dtype=dtype),
+            text_encoder=CLIPTextModel(tcfg, dtype=dtype),
+            e4t_encoder=E4TEncoder(ecfg, dtype=dtype),
+        )
+
+
+def preprocess_image(image) -> np.ndarray:
+    """PIL / uint8 HWC array -> float32 NCHW in [-1, 1]
+    (/root/reference/e4t/pipeline_stable_diffusion_e4t.py:12-27)."""
+    arr = np.asarray(image)
+    if arr.ndim == 3:
+        arr = arr[None]
+    arr = arr.astype(np.float32) / 255.0
+    arr = arr.transpose(0, 3, 1, 2)
+    return 2.0 * arr - 1.0
+
+
+def make_sample_fn(modules: E4TModules, scheduler, num_inference_steps: int,
+                   guidance_scale: float, domain_embed_scale: float,
+                   return_latents: bool = False):
+    """Build the jit-compiled end-to-end sampling function.
+
+    Static: modules, scheduler, step count, guidance, embed scale.
+    Traced: all params, latents, pixel values, prompt embeddings.
+    """
+    do_cfg = guidance_scale > 1.0
+    state0 = scheduler.init(num_inference_steps)
+    timesteps = state0["timesteps"]
+
+    @jax.jit
+    def sample(unet_params, offsets, vae_params, text_params, e4t_params,
+               latents, pixel_values, inputs_embeds, placeholder_idx,
+               uncond_ids, class_embed):
+        # ---- hoisted (once per sampling run) --------------------------
+        params_eff = wo.fold_offset_bank(unet_params, offsets)
+        uncond_states, _ = modules.text_encoder.apply(
+            {"params": text_params}, uncond_ids)
+        bsz = latents.shape[0]
+        uncond_b = jnp.broadcast_to(
+            uncond_states, (bsz, *uncond_states.shape[1:]))
+        pixel_b = jnp.broadcast_to(pixel_values,
+                                   (bsz, *pixel_values.shape[1:]))
+        clip_feats = modules.e4t_encoder.apply(
+            {"params": e4t_params}, pixel_b,
+            method=E4TEncoder.encode_image)
+
+        state = state0
+        if hasattr(scheduler, "init_carry"):
+            state = scheduler.init_carry(state0, latents.shape, latents.dtype)
+
+        def body(carry, i):
+            state, latents = carry
+            t = timesteps[i]
+            t_b = jnp.broadcast_to(t, (bsz,))
+            latents_in = scheduler.scale_model_input(state, i, latents)
+
+            # UNet encoder-half on the "" states (reference pipeline:191)
+            tap = modules.unet.apply(
+                {"params": params_eff}, latents_in, t_b, uncond_b,
+                return_encoder_outputs=True)
+            unet_feats = pool_encoder_features(tap)
+            domain_embed = modules.e4t_encoder.apply(
+                {"params": e4t_params}, clip_feats, unet_feats,
+                method=E4TEncoder.fuse)
+            word = class_embed[None] + domain_embed_scale * domain_embed
+            embeds = jnp.broadcast_to(
+                inputs_embeds, (bsz, *inputs_embeds.shape[1:]))
+            embeds = embeds.at[jnp.arange(bsz), placeholder_idx].set(
+                word.astype(embeds.dtype))
+            cond_states, _ = modules.text_encoder.apply(
+                {"params": text_params}, inputs_embeds=embeds)
+
+            if do_cfg:
+                unet_in = jnp.concatenate([latents_in, latents_in])
+                ctx = jnp.concatenate([uncond_b, cond_states.astype(uncond_b.dtype)])
+                t2 = jnp.concatenate([t_b, t_b])
+                eps = modules.unet.apply({"params": params_eff}, unet_in, t2, ctx)
+                eps_u, eps_c = jnp.split(eps, 2)
+                eps = eps_u + guidance_scale * (eps_c - eps_u)
+            else:
+                eps = modules.unet.apply({"params": params_eff}, latents_in,
+                                         t_b, cond_states)
+            state, latents = scheduler.step(state, i, eps, latents)
+            return (state, latents), None
+
+        (state, latents), _ = jax.lax.scan(
+            body, (state, latents), jnp.arange(len(timesteps)))
+
+        if return_latents:
+            return latents
+        scaling = modules.vae.config.scaling_factor
+        images = modules.vae.apply({"params": vae_params},
+                                   latents / scaling,
+                                   method=AutoencoderKL.decode)
+        images = jnp.clip(images / 2.0 + 0.5, 0.0, 1.0)
+        return images
+
+    return sample
+
+
+class StableDiffusionE4TPipeline:
+    """Host-side orchestration: tokenize, seed, call the jitted sampler.
+
+    Mirrors the reference pipeline's construction contract
+    (/root/reference/e4t/pipeline_stable_diffusion_e4t.py:30-62): registers
+    the placeholder token, resolves the domain-class embedding, caches
+    domain_embed_scale from the e4t config.
+    """
+
+    def __init__(self, modules: E4TModules, params: dict, tokenizer,
+                 e4t_config, scheduler=None,
+                 already_added_placeholder_token: bool = False):
+        self.modules = modules
+        self.params = params  # {"unet","offsets","vae","text","e4t"}
+        self.tokenizer = tokenizer
+        self.e4t_config = e4t_config
+        self.scheduler = scheduler or DDIMScheduler(NoiseScheduleConfig())
+        if not already_added_placeholder_token:
+            n = tokenizer.add_tokens(e4t_config.placeholder_token)
+            if n == 0:
+                raise ValueError(
+                    f"The tokenizer already contains the token "
+                    f"{e4t_config.placeholder_token}.")
+        self.placeholder_token = e4t_config.placeholder_token
+        self.placeholder_token_id = tokenizer.convert_tokens_to_ids(
+            e4t_config.placeholder_token)
+        class_ids = tokenizer(e4t_config.domain_class_token,
+                              add_special_tokens=False,
+                              padding=None)["input_ids"][0]
+        assert len(class_ids) == 1, "domain_class_token must be 1 token"
+        self.class_token_id = class_ids[0]
+        self.domain_embed_scale = e4t_config.domain_embed_scale
+        self._fn_cache = {}
+
+    def _prepare_prompt(self, prompt: str):
+        tok = self.tokenizer
+        input_ids = tok(prompt, padding="max_length", truncation=True,
+                        max_length=tok.model_max_length)["input_ids"][0]
+        try:
+            idx = input_ids.index(self.placeholder_token_id)
+        except ValueError:
+            raise ValueError(
+                f"Your prompt may not have the placeholder_token="
+                f"{self.placeholder_token}")
+        uncond_ids = tok("", padding="max_length", truncation=True,
+                         max_length=tok.model_max_length)["input_ids"][0]
+        return np.asarray(input_ids), idx, np.asarray(uncond_ids)
+
+    def __call__(self, prompt: str, image,
+                 num_inference_steps: int = 50,
+                 guidance_scale: float = 7.5,
+                 num_images_per_prompt: int = 1,
+                 height: Optional[int] = None,
+                 width: Optional[int] = None,
+                 seed: Optional[int] = None,
+                 latents: Optional[np.ndarray] = None,
+                 domain_embed_scale: Optional[float] = None,
+                 scheduler_type: Optional[str] = None,
+                 output_type: str = "np"):
+        modules = self.modules
+        ucfg = modules.unet.config
+        vae_scale = 2 ** (len(modules.vae.config.block_out_channels) - 1)
+        height = height or ucfg.sample_size * vae_scale
+        width = width or ucfg.sample_size * vae_scale
+        des = (self.domain_embed_scale if domain_embed_scale is None
+               else domain_embed_scale)
+        scheduler = self.scheduler
+        if scheduler_type is not None:
+            scheduler = SCHEDULER_MAPPING[scheduler_type](NoiseScheduleConfig())
+
+        input_ids, ph_idx, uncond_ids = self._prepare_prompt(prompt)
+        pixel = preprocess_image(image)
+
+        b = num_images_per_prompt
+        if latents is None:
+            rng = jax.random.PRNGKey(0 if seed is None else seed)
+            latents = jax.random.normal(
+                rng, (b, ucfg.in_channels, height // vae_scale,
+                      width // vae_scale), jnp.float32)
+        latents = jnp.asarray(latents)
+
+        key = (id(scheduler.__class__), num_inference_steps,
+               float(guidance_scale), float(des), b,
+               height, width, "np" != "latent")
+        if key not in self._fn_cache:
+            self._fn_cache[key] = make_sample_fn(
+                modules, scheduler, num_inference_steps, guidance_scale, des,
+                return_latents=(output_type == "latent"))
+        fn = self._fn_cache[key]
+
+        text_params = self.params["text"]
+        inputs_embeds = embed_tokens(text_params,
+                                     jnp.asarray(input_ids)[None])
+        class_embed = embed_tokens(
+            text_params, jnp.asarray([self.class_token_id]))[0]
+
+        images = fn(self.params["unet"], self.params["offsets"],
+                    self.params["vae"], text_params, self.params["e4t"],
+                    latents, jnp.asarray(pixel), inputs_embeds,
+                    jnp.full((b,), ph_idx, jnp.int32),
+                    jnp.asarray(uncond_ids)[None], class_embed)
+        images = np.asarray(jax.device_get(images))
+        if output_type == "pil":
+            from PIL import Image
+
+            arr = (images.transpose(0, 2, 3, 1) * 255).round().astype(np.uint8)
+            return [Image.fromarray(a) for a in arr]
+        return images

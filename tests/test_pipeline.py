@@ -1,0 +1,103 @@
+"""End-to-end pipeline tests on matched tiny model configs."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from e4t_diffusion_tpu.config import AttributeDict
+from e4t_diffusion_tpu.diffusion.pipeline import (
+    E4TModules, StableDiffusionE4TPipeline, preprocess_image)
+from e4t_diffusion_tpu.models import weight_offsets as wo
+from e4t_diffusion_tpu.utils.tokenizer import (
+    CLIPTokenizer, make_tiny_tokenizer_files)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup(tmp_path_factory):
+    modules = E4TModules.tiny()
+    rng = jax.random.PRNGKey(0)
+    ks = jax.random.split(rng, 5)
+    ucfg = modules.unet.config
+    tcfg = modules.text_encoder.config
+
+    unet_params = modules.unet.init(
+        ks[0], jnp.zeros((1, 4, 8, 8)), jnp.array([0]),
+        jnp.zeros((1, tcfg.max_position_embeddings, tcfg.hidden_size)))["params"]
+    vae_params = modules.vae.init(ks[1], jnp.zeros((1, 3, 32, 32)), ks[1])["params"]
+    text_params = modules.text_encoder.init(
+        ks[2], jnp.zeros((1, tcfg.max_position_embeddings), jnp.int32))["params"]
+    ecfg = modules.e4t_encoder.config
+    e4t_params = modules.e4t_encoder.init(
+        ks[3], jnp.zeros((1, 3, 32, 32)),
+        jnp.zeros((1, ecfg.unet_feature_dim)))["params"]
+    offsets = wo.init_offset_bank(ks[4], ucfg)
+
+    tok_dir = make_tiny_tokenizer_files(
+        str(tmp_path_factory.mktemp("tok")),
+        extra_words=["photo", "of", "a", "face"])
+    tokenizer = CLIPTokenizer.from_pretrained(
+        tok_dir, model_max_length=tcfg.max_position_embeddings)
+
+    # grow vocab for the placeholder like the reference does
+    from e4t_diffusion_tpu.models.clip_text import resize_token_embeddings
+    text_params = resize_token_embeddings(text_params, len(tokenizer) + 1)
+
+    params = {"unet": unet_params, "offsets": offsets, "vae": vae_params,
+              "text": text_params, "e4t": e4t_params}
+    e4t_config = AttributeDict({
+        "placeholder_token": "*s",
+        "domain_class_token": "face",
+        "domain_embed_scale": 0.1,
+    })
+    pipe = StableDiffusionE4TPipeline(modules, params, tokenizer, e4t_config)
+    image = (np.random.default_rng(0)
+             .uniform(0, 255, (32, 32, 3)).astype(np.uint8))
+    return pipe, image
+
+
+def test_pipeline_generates_images(tiny_setup):
+    pipe, image = tiny_setup
+    out = pipe("a photo of *s", image, num_inference_steps=3,
+               guidance_scale=7.5, num_images_per_prompt=2, seed=42)
+    # tiny configs: unet sample_size 8 x vae scale 2 -> 16px default
+    assert out.shape == (2, 3, 16, 16)
+    assert np.isfinite(out).all()
+    assert out.min() >= 0.0 and out.max() <= 1.0
+
+
+def test_pipeline_deterministic_with_seed(tiny_setup):
+    pipe, image = tiny_setup
+    a = pipe("a photo of *s", image, num_inference_steps=2, seed=7)
+    b = pipe("a photo of *s", image, num_inference_steps=2, seed=7)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_pipeline_guidance_changes_output(tiny_setup):
+    pipe, image = tiny_setup
+    a = pipe("a photo of *s", image, num_inference_steps=2, seed=7,
+             guidance_scale=1.0)
+    b = pipe("a photo of *s", image, num_inference_steps=2, seed=7,
+             guidance_scale=7.5)
+    assert not np.allclose(a, b)
+
+
+def test_pipeline_plms(tiny_setup):
+    pipe, image = tiny_setup
+    out = pipe("a photo of *s", image, num_inference_steps=3, seed=1,
+               scheduler_type="plms", height=32, width=32)
+    assert out.shape == (1, 3, 32, 32)
+    assert np.isfinite(out).all()
+
+
+def test_pipeline_requires_placeholder(tiny_setup):
+    pipe, image = tiny_setup
+    with pytest.raises(ValueError, match="placeholder"):
+        pipe("a photo of face", image, num_inference_steps=1)
+
+
+def test_preprocess_image_range():
+    img = np.zeros((8, 8, 3), np.uint8)
+    img[0, 0] = 255
+    out = preprocess_image(img)
+    assert out.shape == (1, 3, 8, 8)
+    assert out.max() == 1.0 and out.min() == -1.0
