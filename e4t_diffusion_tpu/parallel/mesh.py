@@ -1,0 +1,63 @@
+"""Device mesh + sharding helpers: the TPU-native replacement for the
+reference's accelerate/DDP/NCCL layer (/root/reference/pretrain_e4t.py:
+224-229,409-412; SURVEY.md §2.4).
+
+Data parallelism is expressed as shardings over a 1-D ``dp`` mesh axis:
+batches sharded on ``dp``, params replicated (optionally with optimizer
+state sharded over ``dp`` — ZeRO-1 — which the reference lacks). XLA SPMD
+inserts the gradient all-reduce over ICI; multi-host setups extend the same
+mesh over DCN via jax.distributed.initialize.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "dp"
+
+
+def get_mesh(num_devices: Optional[int] = None) -> Mesh:
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place host arrays so the leading axis is split across ``dp``.
+    Rank-0 leaves and axes not divisible by the mesh are replicated."""
+    sh = batch_sharding(mesh)
+    rep = replicated(mesh)
+    n = mesh.devices.size
+
+    def place(x):
+        if getattr(x, "ndim", 0) >= 1 and x.shape[0] % n == 0:
+            return jax.device_put(x, sh)
+        return jax.device_put(x, rep)
+
+    return jax.tree_util.tree_map(place, batch)
+
+
+def replicate(tree, mesh: Mesh):
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def local_batch_slice(global_batch: int, mesh: Mesh) -> int:
+    """Per-process slice size for input pipelines (replaces webdataset
+    split_by_node, /root/reference/pretrain_e4t.py:310-312)."""
+    n = mesh.devices.size
+    assert global_batch % n == 0, (
+        f"global batch {global_batch} not divisible by {n} devices")
+    return global_batch // jax.process_count()

@@ -1,0 +1,205 @@
+"""E4T train steps (phase-1 pretrain, phase-2 tuning) as pjit-able pure fns.
+
+Reference loops: /root/reference/pretrain_e4t.py:586-681 (trainables =
+E4T encoder + weight offsets, everything else frozen) and
+/root/reference/tuning_e4t.py:270-358 (trainables = encoder + FULL UNet
+incl. offsets ± text encoder, with global-norm clipping).
+
+The loss is identical in both phases
+(/root/reference/pretrain_e4t.py:645-647):
+    mse(unet(noisy, t, cond_states), target) + reg_lambda * ||word_embed||^2
+where word_embed = class_embed + domain_embed_scale * e4t(image, tap) is
+written into the placeholder slot of the prompt embeddings, and target is
+epsilon or v (prediction_type).
+
+TPU-first structure: one jitted step; the weight-offset fold
+W_eff = W*(1+O) sits INSIDE the differentiated function so phase 1 trains
+offsets through frozen W and phase 2 co-trains both factors (SURVEY.md
+§7.3.2). Data parallelism comes from sharding the batch over the ``dp``
+mesh axis — XLA inserts the gradient psum (no DDP wrapper).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from e4t_diffusion_tpu.diffusion.pipeline import E4TModules
+from e4t_diffusion_tpu.diffusion.schedulers import DDPMScheduler
+from e4t_diffusion_tpu.models import weight_offsets as wo
+from e4t_diffusion_tpu.models.clip_text import embed_tokens
+from e4t_diffusion_tpu.models.e4t_encoder import E4TEncoder
+from e4t_diffusion_tpu.models.unet import pool_encoder_features
+from e4t_diffusion_tpu.models.vae import AutoencoderKL, sample_latent
+
+
+@dataclasses.dataclass(frozen=True)
+class E4TTrainConfig:
+    domain_embed_scale: float = 0.1
+    reg_lambda: float = 0.01
+    train_unet: bool = False          # phase 2 only
+    train_text_encoder: bool = False  # phase 2 optional
+    max_grad_norm: Optional[float] = None  # set (1.0) in phase 2
+    remat_unet: bool = True
+
+
+def split_trainable(params: Dict, cfg: E4TTrainConfig):
+    """Partition the full param dict into (trainable, frozen) following the
+    reference's optimizer param selection
+    (/root/reference/pretrain_e4t.py:274-278, tuning_e4t.py:139-146)."""
+    trainable = {"e4t": params["e4t"], "offsets": params["offsets"]}
+    frozen = {"vae": params["vae"]}
+    if cfg.train_unet:
+        trainable["unet"] = params["unet"]
+    else:
+        frozen["unet"] = params["unet"]
+    if cfg.train_text_encoder:
+        trainable["text"] = params["text"]
+    else:
+        frozen["text"] = params["text"]
+    return trainable, frozen
+
+
+def merge_params(trainable: Dict, frozen: Dict) -> Dict:
+    return {**frozen, **trainable}
+
+
+def e4t_loss_fn(modules: E4TModules, ddpm: DDPMScheduler,
+                cfg: E4TTrainConfig, trainable: Dict, frozen: Dict,
+                batch: Dict, rng: jax.Array):
+    """The shared E4T loss. batch:
+      latents        (B, 4, h, w)  — already VAE-encoded and scaled
+      pixel_values   (B, 3, H, W)  — [-1, 1]
+      input_ids      (B, L) int32  — templated prompts w/ placeholder
+      placeholder_idx(B,)   int32
+      uncond_ids     (1, L) int32  — "" prompt
+      class_token_id ()     int32
+    """
+    p = merge_params(trainable, frozen)
+    latents = batch["latents"]
+    bsz = latents.shape[0]
+    rng_noise, rng_t = jax.random.split(rng)
+
+    noise = jax.random.normal(rng_noise, latents.shape, latents.dtype)
+    timesteps = jax.random.randint(
+        rng_t, (bsz,), 0, ddpm.config.num_train_timesteps)
+    noisy = ddpm.add_noise(latents, noise, timesteps)
+
+    # "" conditioning states + class embed are non-trained inputs
+    # (detached in the reference: /root/reference/tuning_e4t.py:281,287)
+    text_params = p["text"]
+    uncond_states, _ = modules.text_encoder.apply(
+        {"params": text_params}, batch["uncond_ids"])
+    uncond_states = jax.lax.stop_gradient(
+        jnp.broadcast_to(uncond_states, (bsz, *uncond_states.shape[1:])))
+    class_embed = jax.lax.stop_gradient(
+        embed_tokens(text_params, batch["class_token_id"][None])[0])
+
+    # fold offsets inside the differentiated region (SURVEY.md §7.3.2)
+    unet_params_eff = wo.fold_offset_bank(p["unet"], trainable["offsets"])
+
+    unet_apply = modules.unet.apply
+    if cfg.remat_unet:
+        unet_apply = jax.checkpoint(
+            unet_apply, static_argnums=(4,),
+            policy=jax.checkpoint_policies.nothing_saveable)
+
+    tap = unet_apply({"params": unet_params_eff}, noisy, timesteps,
+                     uncond_states, True)
+    unet_feats = pool_encoder_features(tap)
+    domain_embed = modules.e4t_encoder.apply(
+        {"params": trainable["e4t"]}, batch["pixel_values"], unet_feats)
+    word = class_embed[None] + cfg.domain_embed_scale * domain_embed
+
+    inputs_embeds = embed_tokens(text_params, batch["input_ids"])
+    inputs_embeds = inputs_embeds.at[
+        jnp.arange(bsz), batch["placeholder_idx"]].set(
+        word.astype(inputs_embeds.dtype))
+    cond_states, _ = modules.text_encoder.apply(
+        {"params": text_params}, inputs_embeds=inputs_embeds)
+
+    pred = unet_apply({"params": unet_params_eff}, noisy, timesteps,
+                      cond_states, False)
+    target = ddpm.target(latents, noise, timesteps)
+
+    loss_diff = jnp.mean(
+        (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
+    loss_reg = cfg.reg_lambda * jnp.sum(word.astype(jnp.float32) ** 2)
+    loss = loss_diff + loss_reg
+    return loss, {"loss": loss, "loss_diff": loss_diff, "loss_reg": loss_reg}
+
+
+def make_optimizer(learning_rate, cfg: E4TTrainConfig,
+                   weight_decay: float = 1e-2,
+                   use_8bit: bool = False) -> optax.GradientTransformation:
+    """AdamW matching torch defaults (the reference's optimizer,
+    /root/reference/pretrain_e4t.py:387-392). ``use_8bit`` maps the
+    bitsandbytes AdamW8bit flag to bf16 optimizer moments (documented
+    deviation: same memory goal, TPU-native mechanism)."""
+    kwargs = dict(b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay)
+    if use_8bit:
+        kwargs["mu_dtype"] = jnp.bfloat16
+    tx = optax.adamw(learning_rate, **kwargs)
+    if cfg.max_grad_norm is not None:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), tx)
+    return tx
+
+
+@dataclasses.dataclass
+class TrainState:
+    step: jax.Array
+    trainable: Dict
+    opt_state: Any
+
+
+jax.tree_util.register_pytree_node(
+    TrainState,
+    lambda s: ((s.step, s.trainable, s.opt_state), None),
+    lambda aux, c: TrainState(*c),
+)
+
+
+def create_train_state(params: Dict, cfg: E4TTrainConfig,
+                       tx: optax.GradientTransformation):
+    trainable, frozen = split_trainable(params, cfg)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        trainable=trainable,
+        opt_state=tx.init(trainable),
+    ), frozen
+
+
+def make_train_step(modules: E4TModules, ddpm: DDPMScheduler,
+                    cfg: E4TTrainConfig,
+                    tx: optax.GradientTransformation) -> Callable:
+    """Returns jit-able ``step(state, frozen, batch, rng) ->
+    (state, metrics)``. Shard batch over ``dp`` to data-parallelize —
+    gradients are reduced by XLA SPMD automatically."""
+
+    def step(state: TrainState, frozen: Dict, batch: Dict, rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+        (_, metrics), grads = jax.value_and_grad(
+            lambda t: e4t_loss_fn(modules, ddpm, cfg, t, frozen, batch, rng),
+            has_aux=True)(state.trainable)
+        updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
+        trainable = optax.apply_updates(state.trainable, updates)
+        new_state = TrainState(step=state.step + 1, trainable=trainable,
+                               opt_state=opt_state)
+        metrics = {k: v for k, v in metrics.items()}
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return step
+
+
+def encode_latents(modules: E4TModules, vae_params, pixel_values,
+                   rng) -> jax.Array:
+    """VAE-encode + posterior sample + scaling, as the train loops do
+    (/root/reference/pretrain_e4t.py:598-599)."""
+    mean, logvar = modules.vae.apply({"params": vae_params}, pixel_values,
+                                     method=AutoencoderKL.encode)
+    z = sample_latent(mean, logvar, rng)
+    return z * modules.vae.config.scaling_factor
