@@ -346,6 +346,38 @@ def vae_from_torch(sd: Dict[str, np.ndarray], config) -> Dict:
     return c.finish()
 
 
+def vae_to_torch(params: Dict, config=None) -> Dict[str, np.ndarray]:
+    """flax VAE params -> diffusers-named (v0.14 attention naming) torch
+    state dict."""
+    out: Dict[str, np.ndarray] = {}
+
+    def fix(comp: str) -> str:
+        comp = re.sub(
+            r"(down_blocks|up_blocks|resnets|attentions|downsamplers|"
+            r"upsamplers)_(\d+)", r"\1.\2", comp)
+        # joining underscores of compound flax names: "down_blocks.0_resnets.0"
+        comp = re.sub(r"(\d)_([a-z])", r"\1.\2", comp)
+        return comp
+
+    def walk(node, fpath):
+        for k, v in node.items():
+            if isinstance(v, dict):
+                walk(v, fpath + [fix(k)])
+            else:
+                v = np.asarray(v)
+                base = ".".join(fpath)
+                if k == "kernel":
+                    out[base + ".weight"] = (np.transpose(v, (3, 2, 0, 1))
+                                             if v.ndim == 4 else _t(v))
+                elif k == "scale":
+                    out[base + ".weight"] = v
+                else:
+                    out[base + "." + k] = v
+
+    walk(params, [])
+    return out
+
+
 # ---------------------------------------------------------------------------
 # E4T encoder (open_clip visual tower + fusion head)
 # ---------------------------------------------------------------------------
