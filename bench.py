@@ -1,0 +1,114 @@
+"""Headline benchmark: 512px DDIM-50 E4T inference images/sec/chip.
+
+BASELINE.md target: >= 2x the A100 reference throughput for E4T inference
+(the reference publishes no numbers; we use a measured-in-literature A100
+estimate for the reference pipeline: SD v1 512px DDIM-50 with CFG runs
+~0.35 img/s on A100 fp16+xformers, and E4T adds a full ViT-H forward, a
+UNet encoder-half pass, a CLIP-text pass and 96 hypernetwork evals per
+step, ~halving it => ~0.18 img/s/GPU). vs_baseline below is measured
+throughput / 0.18.
+
+The benchmarked program is the REAL sampling path (make_sample_fn): per
+step the encoder-half tap + fusion head + text encoder + CFG batch-doubled
+UNet, with offsets folded once and ViT hoisted — plus the final VAE decode.
+Weights are zero-filled (timing is weight-value independent).
+
+Env knobs: E4T_BENCH_BATCH (default 4), E4T_BENCH_STEPS (50),
+E4T_BENCH_RES (512), E4T_BENCH_REPEATS (3).
+"""
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_REFERENCE_IMG_PER_SEC = 0.18
+
+
+def zeros_params(init_fn, *args):
+    shapes = jax.eval_shape(init_fn, *args)
+    return jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+
+def main():
+    batch = int(os.environ.get("E4T_BENCH_BATCH", "4"))
+    steps = int(os.environ.get("E4T_BENCH_STEPS", "50"))
+    res = int(os.environ.get("E4T_BENCH_RES", "512"))
+    repeats = int(os.environ.get("E4T_BENCH_REPEATS", "3"))
+    dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+    from e4t_diffusion_tpu.diffusion.pipeline import E4TModules, make_sample_fn
+    from e4t_diffusion_tpu.diffusion.schedulers import (
+        DDIMScheduler, NoiseScheduleConfig)
+    from e4t_diffusion_tpu.models import weight_offsets as wo
+
+    modules = E4TModules.create(dtype=dtype)
+    tcfg = modules.text_encoder.config
+    ecfg = modules.e4t_encoder.config
+    rng = jax.random.PRNGKey(0)
+
+    # zero-filled full-size params, stored in bf16 on TPU to fit HBM
+    store = dtype
+    cast = lambda tree: jax.tree_util.tree_map(
+        lambda x: x.astype(store) if x.dtype == jnp.float32 else x, tree)
+    unet_params = cast(zeros_params(
+        lambda k: modules.unet.init(
+            k, jnp.zeros((1, 4, res // 8, res // 8)),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 77, tcfg.hidden_size)))["params"], rng))
+    vae_params = cast(zeros_params(
+        lambda k: modules.vae.init(
+            k, jnp.zeros((1, 3, res, res)), k)["params"], rng))
+    text_params = cast(zeros_params(
+        lambda k: modules.text_encoder.init(
+            k, jnp.zeros((1, 77), jnp.int32))["params"], rng))
+    e4t_params = cast(zeros_params(
+        lambda k: modules.e4t_encoder.init(
+            k, jnp.zeros((1, 3, res, res)),
+            jnp.zeros((1, ecfg.unet_feature_dim)))["params"], rng))
+    offsets = cast(zeros_params(
+        lambda k: wo.init_offset_bank(k, modules.unet.config), rng))
+
+    scheduler = DDIMScheduler(NoiseScheduleConfig())
+    fn = make_sample_fn(modules, scheduler, num_inference_steps=steps,
+                        guidance_scale=7.5, domain_embed_scale=0.1)
+
+    latents = jax.random.normal(rng, (batch, 4, res // 8, res // 8), dtype)
+    pixel = jnp.zeros((1, 3, res, res), dtype)
+    inputs_embeds = jnp.zeros((1, 77, tcfg.hidden_size), dtype)
+    ph_idx = jnp.full((batch,), 4, jnp.int32)
+    uncond_ids = jnp.zeros((1, 77), jnp.int32)
+    class_embed = jnp.zeros((tcfg.hidden_size,), dtype)
+
+    args = (unet_params, offsets, vae_params, text_params, e4t_params,
+            latents, pixel, inputs_embeds, ph_idx, uncond_ids, class_embed)
+
+    # warmup / compile
+    out = fn(*args)
+    jax.block_until_ready(out)
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    img_per_sec = batch / best
+
+    n_chips = jax.device_count()
+    result = {
+        "metric": f"e4t_inference_{res}px_ddim{steps}_images_per_sec_per_chip",
+        "value": round(img_per_sec / n_chips, 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": round((img_per_sec / n_chips)
+                             / A100_REFERENCE_IMG_PER_SEC, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,309 @@
+"""Input pipeline: folder / HF-datasets / tar-shard sources + transforms.
+
+Replaces the reference's four dataset paths
+(/root/reference/pretrain_e4t.py:283-352): an image-folder dataset with
+recursive listing (:125-134), HF datasets (regular and streaming), and
+webdataset tar shards with per-node/per-worker sharding (:305-344) — the
+tar reader here is self-contained (stdlib tarfile + brace expansion), with
+sharding by jax.process_index() replacing wds.split_by_node.
+
+Transforms match the reference bit-for-bit where it matters: albumentations
+SmallestMaxSize(interpolation=3) resolves to cv2.INTER_AREA
+(/root/reference/pretrain_e4t.py:137-144), then center/random crop,
+p=0.5 horizontal flip, and x/127.5 - 1 (:176).
+"""
+from __future__ import annotations
+
+import io
+import json
+import math
+import os
+import queue
+import re
+import tarfile
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+_IMAGE_EXTS = ("jpg", "jpeg", "png", "gif")
+
+
+# ---------------------------------------------------------------------------
+# transforms
+# ---------------------------------------------------------------------------
+
+def smallest_max_size(image: np.ndarray, size: int) -> np.ndarray:
+    """Resize so the SHORTER side == size (albumentations SmallestMaxSize),
+    cv2.INTER_AREA interpolation (the reference's interpolation=3)."""
+    import cv2
+
+    h, w = image.shape[:2]
+    scale = size / min(h, w)
+    if scale == 1.0:
+        return image
+    new_w, new_h = round(w * scale), round(h * scale)
+    return cv2.resize(image, (new_w, new_h), interpolation=cv2.INTER_AREA)
+
+
+def center_crop(image: np.ndarray, size: int) -> np.ndarray:
+    h, w = image.shape[:2]
+    top = (h - size) // 2
+    left = (w - size) // 2
+    return image[top:top + size, left:left + size]
+
+
+def random_crop(image: np.ndarray, size: int, rng: np.random.Generator) -> np.ndarray:
+    h, w = image.shape[:2]
+    top = int(rng.integers(0, h - size + 1))
+    left = int(rng.integers(0, w - size + 1))
+    return image[top:top + size, left:left + size]
+
+
+def make_transform(size: int, random_crop_flag: bool = False,
+                   hflip: bool = True, seed: int = 0):
+    """The 512px diffusion-path pipeline
+    (/root/reference/pretrain_e4t.py:137-144)."""
+    rng = np.random.default_rng(seed)
+
+    def apply(image: np.ndarray) -> np.ndarray:
+        image = smallest_max_size(image, size)
+        if random_crop_flag:
+            image = random_crop(image, size, rng)
+        else:
+            image = center_crop(image, size)
+        if hflip and rng.random() < 0.5:
+            image = image[:, ::-1]
+        image = (image.astype(np.float32) / 127.5 - 1.0)
+        return np.ascontiguousarray(image.transpose(2, 0, 1))  # HWC->CHW
+
+    return apply
+
+
+def load_image_rgb(path_or_file) -> np.ndarray:
+    from PIL import Image
+
+    img = Image.open(path_or_file)
+    return np.asarray(img.convert("RGB"))
+
+
+# ---------------------------------------------------------------------------
+# sources
+# ---------------------------------------------------------------------------
+
+def list_image_files_recursively(data_dir: str) -> List[str]:
+    """Sorted recursive listing (/root/reference/pretrain_e4t.py:125-134)."""
+    results: List[str] = []
+    for entry in sorted(os.listdir(data_dir)):
+        full = os.path.join(data_dir, entry)
+        ext = entry.split(".")[-1].lower()
+        if "." in entry and ext in _IMAGE_EXTS:
+            results.append(full)
+        elif os.path.isdir(full):
+            results.extend(list_image_files_recursively(full))
+    return results
+
+
+def braceexpand(pattern: str) -> List[str]:
+    """Minimal {000..099} / {a,b,c} expansion for shard specs."""
+    m = re.search(r"\{(\d+)\.\.(\d+)\}", pattern)
+    if m:
+        lo, hi = m.group(1), m.group(2)
+        width = len(lo)
+        out = []
+        for i in range(int(lo), int(hi) + 1):
+            out.extend(braceexpand(pattern[:m.start()]
+                                   + str(i).zfill(width)
+                                   + pattern[m.end():]))
+        return out
+    m = re.search(r"\{([^{}]*,[^{}]*)\}", pattern)
+    if m:
+        out = []
+        for alt in m.group(1).split(","):
+            out.extend(braceexpand(pattern[:m.start()] + alt + pattern[m.end():]))
+        return out
+    return [pattern]
+
+
+def expand_shards(spec: str) -> List[str]:
+    """'::'-joined brace patterns -> shard list
+    (/root/reference/pretrain_e4t.py:183-187)."""
+    shards: List[str] = []
+    for s in spec.split("::"):
+        shards.extend(braceexpand(s))
+    return shards
+
+
+def get_dataset_size(spec: str):
+    """sizes.json / *_stats.json accounting
+    (/root/reference/pretrain_e4t.py:183-212)."""
+    shards = expand_shards(spec)
+    dir_path = os.path.dirname(spec)
+    sizes_file = os.path.join(dir_path, "sizes.json")
+    if os.path.exists(sizes_file):
+        with open(sizes_file) as f:
+            sizes = json.load(f)
+        total = sum(int(sizes[os.path.basename(s)]) for s in shards)
+    else:
+        total = 0
+        found = False
+        for shard in shards:
+            stats = shard.replace(".tar", "_stats.json")
+            if os.path.exists(stats):
+                with open(stats) as f:
+                    s = json.load(f)
+                total += int(s.get("n_data", s.get("successes", 0)))
+                found = True
+        if not found:
+            total = None
+    return total, len(shards)
+
+
+def iter_tar_shards(shards: Sequence[str], process_index: int = 0,
+                    process_count: int = 1, seed: int = 0,
+                    resample: bool = True) -> Iterator[np.ndarray]:
+    """Stream decoded RGB arrays from tar shards assigned to this process
+    (replaces wds.ResampledShards + split_by_node + tarfile_to_samples,
+    /root/reference/pretrain_e4t.py:308-319). Corrupt members are skipped
+    with a warning (wds.warn_and_continue semantics)."""
+    rng = np.random.default_rng(seed + process_index)
+    my_shards = list(shards[process_index::process_count]) or list(shards)
+    while True:
+        order = (rng.permutation(len(my_shards)) if resample
+                 else np.arange(len(my_shards)))
+        for si in order:
+            shard = my_shards[int(si)]
+            try:
+                with tarfile.open(shard, "r") as tf:
+                    for member in tf:
+                        name = member.name.lower()
+                        if not name.split(".")[-1] in _IMAGE_EXTS:
+                            continue
+                        try:
+                            data = tf.extractfile(member).read()
+                            yield load_image_rgb(io.BytesIO(data))
+                        except Exception as e:  # warn_and_continue
+                            print(f"[data] skipping {member.name}: {e}")
+            except Exception as e:
+                print(f"[data] skipping shard {shard}: {e}")
+        if not resample:
+            return
+
+
+def _shuffled(it: Iterator, buffer_size: int, seed: int) -> Iterator:
+    """Reservoir-style shuffle buffer (wds.shuffle(1000) equivalent)."""
+    rng = np.random.default_rng(seed)
+    buf = []
+    for item in it:
+        buf.append(item)
+        if len(buf) >= buffer_size:
+            i = int(rng.integers(0, len(buf)))
+            buf[i], buf[-1] = buf[-1], buf[i]
+            yield buf.pop()
+    rng.shuffle(buf)
+    yield from buf
+
+
+class E4TDataLoader:
+    """Batched loader over any of the reference's dataset flavors.
+
+    source:
+      - directory path(s) joined by '::'  -> recursive folder dataset
+      - '*.tar' shard spec               -> tar-shard streaming
+      - anything else                    -> HF datasets (load_dataset)
+    Yields {"pixel_values": (B, 3, size, size) float32 in [-1, 1]}.
+    """
+
+    def __init__(self, source: str, batch_size: int, resolution: int = 512,
+                 random_crop: bool = True, seed: int = 42,
+                 use_tar: bool = False, streaming: bool = False,
+                 process_index: Optional[int] = None,
+                 process_count: Optional[int] = None,
+                 shuffle_buffer: int = 1000,
+                 prefetch: int = 2):
+        import jax
+
+        self.source = source
+        self.batch_size = batch_size
+        self.transform = make_transform(resolution, random_crop, seed=seed)
+        self.seed = seed
+        self.use_tar = use_tar or ".tar" in source
+        self.streaming = streaming
+        self.process_index = (jax.process_index() if process_index is None
+                              else process_index)
+        self.process_count = (jax.process_count() if process_count is None
+                              else process_count)
+        self.shuffle_buffer = shuffle_buffer
+        self.prefetch = prefetch
+        self.num_samples = None
+        if self.use_tar:
+            self.num_samples, self.num_shards = get_dataset_size(source)
+
+    def _image_iter(self) -> Iterator[np.ndarray]:
+        if self.use_tar:
+            shards = expand_shards(self.source)
+            it = iter_tar_shards(shards, self.process_index,
+                                 self.process_count, self.seed)
+            yield from _shuffled(it, self.shuffle_buffer, self.seed)
+        elif (os.path.isdir(self.source.split("::")[0])):
+            files: List[str] = []
+            for name in self.source.split("::"):
+                files.extend(list_image_files_recursively(name))
+            assert files, f"no images under {self.source}"
+            self.num_samples = len(files)
+            rng = np.random.default_rng(self.seed)
+            while True:
+                for i in rng.permutation(len(files)):
+                    try:
+                        yield load_image_rgb(files[int(i)])
+                    except Exception as e:
+                        print(f"[data] skipping {files[int(i)]}: {e}")
+        else:
+            from datasets import load_dataset
+
+            ds = load_dataset(self.source, split="train",
+                              streaming=self.streaming)
+            if self.streaming:
+                ds = ds.shuffle(seed=self.seed, buffer_size=10000)
+                while True:
+                    for ex in ds:
+                        yield np.asarray(ex["image"].convert("RGB"))
+            else:
+                self.num_samples = len(ds)
+                rng = np.random.default_rng(self.seed)
+                while True:
+                    for i in rng.permutation(len(ds)):
+                        yield np.asarray(ds[int(i)]["image"].convert("RGB"))
+
+    def _batch_iter(self) -> Iterator[Dict[str, np.ndarray]]:
+        batch = []
+        for img in self._image_iter():
+            batch.append(self.transform(img))
+            if len(batch) == self.batch_size:
+                yield {"pixel_values": np.stack(batch)}
+                batch = []
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        """Background-thread prefetch so host decode overlaps device step."""
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for b in self._batch_iter():
+                    if stop.is_set():
+                        return
+                    q.put(b)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                b = q.get()
+                if b is None:
+                    return
+                yield b
+        finally:
+            stop.set()

@@ -476,6 +476,20 @@ class UNet2DConditionModel(nn.Module):
         return jnp.transpose(x, (0, 3, 1, 2))  # NHWC -> NCHW
 
 
+def tap_feature_dim(config: UNetConfig) -> int:
+    """Channel count of the pooled E4T tap: conv_in + every down-block
+    residual (+downsampler) + mid output. 10,880 for SD v1
+    (/root/reference/e4t/models/unet_2d_condition.py:581-586)."""
+    total = config.block_out_channels[0]  # conv_in
+    for bi, _ in enumerate(config.down_block_types):
+        ch = config.block_out_channels[bi]
+        total += config.layers_per_block * ch
+        if bi != len(config.down_block_types) - 1:  # downsampler output
+            total += ch
+    total += config.block_out_channels[-1]  # mid
+    return total
+
+
 def pool_encoder_features(down_block_samples: Sequence[jax.Array]) -> jax.Array:
     """Spatial mean-pool + concat the E4T tap -> (B, 10880) for SD v1.
 

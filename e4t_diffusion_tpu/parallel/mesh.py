@@ -19,6 +19,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "dp"
 
 
+def maybe_initialize_distributed() -> None:
+    """Multi-host bootstrap over DCN (jax.distributed) when launched under a
+    multi-process coordinator; single-process runs are a no-op. Replaces
+    `accelerate launch`'s process-group init (/root/reference/README.md:34)."""
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+            "COORDINATOR_ADDRESS"):
+        try:
+            jax.distributed.initialize()
+        except Exception as e:  # already initialized or single-host
+            print(f"[mesh] jax.distributed.initialize skipped: {e}")
+
+
 def get_mesh(num_devices: Optional[int] = None) -> Mesh:
     devices = jax.devices()
     if num_devices is not None:

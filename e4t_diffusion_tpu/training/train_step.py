@@ -79,9 +79,14 @@ def e4t_loss_fn(modules: E4TModules, ddpm: DDPMScheduler,
       class_token_id ()     int32
     """
     p = merge_params(trainable, frozen)
-    latents = batch["latents"]
+    rng_noise, rng_t, rng_vae = jax.random.split(rng, 3)
+    if batch.get("latents") is not None:
+        latents = batch["latents"]  # tuning: VAE-encoded once outside
+    else:
+        # pretrain encodes per step (/root/reference/pretrain_e4t.py:598-599)
+        latents = jax.lax.stop_gradient(encode_latents(
+            modules, p["vae"], batch["pixel_values"], rng_vae))
     bsz = latents.shape[0]
-    rng_noise, rng_t = jax.random.split(rng)
 
     noise = jax.random.normal(rng_noise, latents.shape, latents.dtype)
     timesteps = jax.random.randint(

@@ -152,21 +152,31 @@ def load_sd_base(path: str) -> Dict[str, Any]:
 
 def e4t_encoder_config_from_args(args: AttributeDict,
                                  word_embedding_dim: int = 768,
-                                 unet_feature_dim: int = 10880) -> E4TEncoderConfig:
+                                 unet_config: Optional[UNetConfig] = None,
+                                 unet_feature_dim: Optional[int] = None
+                                 ) -> E4TEncoderConfig:
     """Resolve the encoder config from a saved run config.
 
     Reference quirk preserved (SURVEY.md §2.2): tuning/inference pass
     ``clip_model=`` which E4TEncoder silently ignores, so those paths
     always use the ViT-H-14 default; only pretrain's 'arch::version' is
     honored — and only ViT-H-14 geometry is bundled natively.
+    ``vit_config: "tiny"`` in the config selects the test geometry.
     """
-    arch = None
-    if args.clip_model_name_or_path:
-        arch = str(args.clip_model_name_or_path).split("::")[0]
-    vit = ViTConfig.vit_h_14()
-    if arch not in (None, "ViT-H-14"):
-        n = args.n_odd_layers
-        assert n is not None, "You must specify `n_odd_layers`!"
+    if unet_feature_dim is None:
+        from e4t_diffusion_tpu.models.unet import tap_feature_dim
+
+        unet_feature_dim = tap_feature_dim(unet_config) if unet_config else 10880
+    if getattr(args, "vit_config", None) == "tiny":
+        vit = ViTConfig.tiny()
+    else:
+        arch = None
+        if args.clip_model_name_or_path:
+            arch = str(args.clip_model_name_or_path).split("::")[0]
+        vit = ViTConfig.vit_h_14()
+        if arch not in (None, "ViT-H-14"):
+            n = args.n_odd_layers
+            assert n is not None, "You must specify `n_odd_layers`!"
     return E4TEncoderConfig(word_embedding_dim=word_embedding_dim,
                             unet_feature_dim=unet_feature_dim, vit=vit,
                             freeze_clip_vision=not args.unfreeze_clip_vision)

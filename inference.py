@@ -1,0 +1,124 @@
+"""E4T inference CLI — TPU-native.
+
+Flag-compatible with the reference (/root/reference/inference.py:32-48):
+loads a tuned/pretrained E4T artifact dir, builds the sampling pipeline,
+renders a prompt grid to grid.png. '::' splits multiple prompts.
+
+TPU notes: --enable_xformers_memory_efficient_attention is accepted for CLI
+parity but is a no-op — the Pallas flash-attention kernel is always on for
+TPU backends. --dtype bf16 (default on TPU) runs the whole denoise loop in
+bfloat16 compute with fp32 params.
+"""
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+from tqdm import tqdm
+
+from e4t_diffusion_tpu.config import (
+    load_config, get_e4t_config, getattr_from_config)
+from e4t_diffusion_tpu.diffusion.pipeline import StableDiffusionE4TPipeline
+from e4t_diffusion_tpu.diffusion.schedulers import SCHEDULER_MAPPING
+from e4t_diffusion_tpu.training.setup import build_modules, prepare_tokenizer
+from e4t_diffusion_tpu.utils import artifacts
+from e4t_diffusion_tpu.utils.image import image_grid, load_image
+
+
+def parse_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--image_path_or_url", type=str,
+                        help="path to the input image")
+    parser.add_argument("--pretrained_model_name_or_path", type=str,
+                        help="model dir including config.json, encoder.pt, "
+                             "weight_offsets.pt")
+    # diffusers config
+    parser.add_argument("--prompt", type=str, nargs="?",
+                        default="a photo of *s", help="the prompt to render")
+    parser.add_argument("--num_inference_steps", type=int, default=50,
+                        help="number of ddim sampling steps")
+    parser.add_argument("--guidance_scale", type=float, default=1.0,
+                        help="unconditional guidance scale")
+    parser.add_argument("--num_images_per_prompt", type=int, default=1,
+                        help="number of images per prompt")
+    parser.add_argument("--height", type=int, default=512,
+                        help="image height, in pixel space")
+    parser.add_argument("--width", type=int, default=512,
+                        help="image width, in pixel space")
+    parser.add_argument("--seed", type=int, default=None,
+                        help="the seed (for reproducible sampling)")
+    parser.add_argument("--scheduler_type", type=str,
+                        choices=["ddim", "plms", "lms", "euler",
+                                 "euler_ancestral", "dpm_solver++"],
+                        default="ddim", help="diffusion scheduler type")
+    parser.add_argument("--enable_xformers_memory_efficient_attention",
+                        action="store_true",
+                        help="accepted for parity; flash attention is "
+                             "always used on TPU")
+    # TPU additions
+    parser.add_argument("--dtype", type=str, default="auto",
+                        choices=["auto", "bf16", "fp32"],
+                        help="compute dtype (auto = bf16 on TPU)")
+    parser.add_argument("--output", type=str, default="grid.png")
+    return parser.parse_args()
+
+
+def main():
+    args = parse_args()
+    print(f"devices: {jax.devices()}")
+    if args.dtype == "auto":
+        dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    else:
+        dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+
+    config = load_config(args.pretrained_model_name_or_path)
+    sd_path = getattr_from_config(config, "pretrained_model_name_or_path")
+    e4t_config = get_e4t_config(config)
+
+    base = artifacts.load_sd_base(sd_path)
+    enc_cfg = artifacts.e4t_encoder_config_from_args(
+        e4t_config, word_embedding_dim=base["text_config"].hidden_size,
+        unet_config=base["unet_config"])
+    loaded = artifacts.load_e4t_weights(
+        args.pretrained_model_name_or_path, base, enc_cfg)
+
+    modules = build_modules(base, enc_cfg, dtype=dtype)
+    tokenizer, text_params, _ = prepare_tokenizer(
+        base, e4t_config.placeholder_token, loaded["text"])
+
+    params = {
+        "unet": loaded["unet"],
+        "offsets": loaded.get("offsets"),
+        "vae": loaded["vae"],
+        "text": text_params,
+        "e4t": loaded["e4t"],
+    }
+    scheduler = SCHEDULER_MAPPING[args.scheduler_type](
+        base["schedule_config"])
+    pipe = StableDiffusionE4TPipeline(
+        modules, params, tokenizer, e4t_config, scheduler=scheduler,
+        already_added_placeholder_token=True)
+    print("loaded pipeline")
+
+    image = load_image(args.image_path_or_url)
+    prompts = args.prompt.split("::")
+    all_images = []
+    for prompt in tqdm(prompts):
+        imgs = pipe(prompt,
+                    image,
+                    num_inference_steps=args.num_inference_steps,
+                    guidance_scale=args.guidance_scale,
+                    num_images_per_prompt=args.num_images_per_prompt,
+                    height=args.height,
+                    width=args.width,
+                    seed=args.seed,
+                    output_type="pil")
+        all_images.extend(imgs)
+    grid_image = image_grid(all_images, len(prompts),
+                            args.num_images_per_prompt)
+    grid_image.save(args.output)
+    print(f"DONE! See `{args.output}` for the results!")
+
+
+if __name__ == "__main__":
+    main()
