@@ -84,7 +84,8 @@ def main():
     class_embed = jnp.zeros((tcfg.hidden_size,), dtype)
 
     args = (unet_params, offsets, vae_params, text_params, e4t_params,
-            latents, pixel, inputs_embeds, ph_idx, uncond_ids, class_embed)
+            latents, pixel, inputs_embeds, ph_idx, uncond_ids, class_embed,
+            jax.random.PRNGKey(1))
 
     # warmup / compile
     out = fn(*args)

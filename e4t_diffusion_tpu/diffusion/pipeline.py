@@ -101,12 +101,16 @@ def make_sample_fn(modules: E4TModules, scheduler, num_inference_steps: int,
     do_cfg = guidance_scale > 1.0
     state0 = scheduler.init(num_inference_steps)
     timesteps = state0["timesteps"]
+    stochastic = getattr(scheduler, "stochastic", False)
 
     @jax.jit
     def sample(unet_params, offsets, vae_params, text_params, e4t_params,
                latents, pixel_values, inputs_embeds, placeholder_idx,
-               uncond_ids, class_embed):
+               uncond_ids, class_embed, noise_rng):
         # ---- hoisted (once per sampling run) --------------------------
+        if hasattr(scheduler, "init_noise_sigma"):
+            latents = latents * scheduler.init_noise_sigma(state0).astype(
+                latents.dtype)
         params_eff = wo.fold_offset_bank(unet_params, offsets)
         uncond_states, _ = modules.text_encoder.apply(
             {"params": text_params}, uncond_ids)
@@ -155,7 +159,11 @@ def make_sample_fn(modules: E4TModules, scheduler, num_inference_steps: int,
             else:
                 eps = modules.unet.apply({"params": params_eff}, latents_in,
                                          t_b, cond_states)
-            state, latents = scheduler.step(state, i, eps, latents)
+            noise = (jax.random.normal(jax.random.fold_in(noise_rng, i),
+                                       latents.shape, latents.dtype)
+                     if stochastic else None)
+            state, latents = scheduler.step(state, i, eps, latents,
+                                            noise=noise)
             return (state, latents), None
 
         (state, latents), _ = jax.lax.scan(
@@ -269,11 +277,13 @@ class StableDiffusionE4TPipeline:
         class_embed = embed_tokens(
             text_params, jnp.asarray([self.class_token_id]))[0]
 
+        noise_rng = jax.random.PRNGKey(
+            (0 if seed is None else seed) ^ 0x5DEECE66D)
         images = fn(self.params["unet"], self.params["offsets"],
                     self.params["vae"], text_params, self.params["e4t"],
                     latents, jnp.asarray(pixel), inputs_embeds,
                     jnp.full((b,), ph_idx, jnp.int32),
-                    jnp.asarray(uncond_ids)[None], class_embed)
+                    jnp.asarray(uncond_ids)[None], class_embed, noise_rng)
         images = np.asarray(jax.device_get(images))
         if output_type == "pil":
             from PIL import Image

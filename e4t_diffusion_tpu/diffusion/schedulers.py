@@ -252,7 +252,7 @@ class PNDMScheduler:
     def scale_model_input(self, state, i, sample):
         return sample
 
-    def step(self, state, i, model_output, sample):
+    def step(self, state, i, model_output, sample, noise=None):
         cfg = self.config
         ets = state["ets"]
         # shift history when appending (newest at index 0)
@@ -285,7 +285,248 @@ class PNDMScheduler:
         return out_state, prev.astype(sample.dtype)
 
 
+# ---------------------------------------------------------------------------
+# Sigma-parameterized samplers (Euler / EulerAncestral / LMS)
+# ---------------------------------------------------------------------------
+
+def _sigma_grid(cfg: NoiseScheduleConfig, num_steps: int):
+    """diffusers v0.14 *Discrete grids: float linspace timesteps descending,
+    sigmas interpolated from ((1-ac)/ac)^0.5, 0 appended."""
+    ac = alphas_cumprod(cfg)
+    sigmas_train = ((1 - ac) / ac) ** 0.5
+    ts = np.linspace(0, cfg.num_train_timesteps - 1, num_steps,
+                     dtype=np.float64)[::-1].copy()
+    sigmas = np.interp(ts, np.arange(cfg.num_train_timesteps), sigmas_train)
+    sigmas = np.concatenate([sigmas, [0.0]])
+    return ts, sigmas
+
+
+class _SigmaScheduler:
+    order = 1
+
+    def __init__(self, config: NoiseScheduleConfig = NoiseScheduleConfig()):
+        self.config = config
+
+    def init(self, num_steps: int) -> Dict[str, jax.Array]:
+        ts, sigmas = _sigma_grid(self.config, num_steps)
+        return {
+            "timesteps": jnp.asarray(np.round(ts), jnp.int32),
+            "timesteps_f": jnp.asarray(ts, jnp.float32),
+            "sigmas": jnp.asarray(sigmas, jnp.float32),
+        }
+
+    def init_noise_sigma(self, state) -> jax.Array:
+        return jnp.max(state["sigmas"])
+
+    def scale_model_input(self, state, i, sample):
+        sigma = state["sigmas"][i].astype(sample.dtype)
+        return sample / jnp.sqrt(sigma ** 2 + 1.0)
+
+    def _pred_x0(self, state, i, model_output, sample):
+        """sample here is the UN-scaled latent (sigma-space)."""
+        cfg = self.config
+        sigma = state["sigmas"][i].astype(jnp.float32)
+        s = sample.astype(jnp.float32)
+        m = model_output.astype(jnp.float32)
+        if cfg.prediction_type == "epsilon":
+            return s - sigma * m
+        if cfg.prediction_type == "v_prediction":
+            return m * (-sigma / jnp.sqrt(sigma ** 2 + 1)) + s / (sigma ** 2 + 1)
+        if cfg.prediction_type == "sample":
+            return m
+        raise ValueError(cfg.prediction_type)
+
+
+class EulerDiscreteScheduler(_SigmaScheduler):
+    """diffusers EulerDiscreteScheduler (deterministic, s_churn=0 path)."""
+
+    def step(self, state, i, model_output, sample, noise=None):
+        sigma = state["sigmas"][i].astype(jnp.float32)
+        sigma_next = state["sigmas"][i + 1].astype(jnp.float32)
+        x0 = self._pred_x0(state, i, model_output, sample)
+        d = (sample.astype(jnp.float32) - x0) / sigma
+        prev = sample.astype(jnp.float32) + (sigma_next - sigma) * d
+        return state, prev.astype(sample.dtype)
+
+
+class EulerAncestralDiscreteScheduler(_SigmaScheduler):
+    """diffusers EulerAncestralDiscreteScheduler (stochastic)."""
+
+    stochastic = True
+
+    def step(self, state, i, model_output, sample, noise=None):
+        if noise is None:
+            raise ValueError("euler_ancestral requires per-step noise")
+        sigma = state["sigmas"][i].astype(jnp.float32)
+        sigma_to = state["sigmas"][i + 1].astype(jnp.float32)
+        x0 = self._pred_x0(state, i, model_output, sample)
+        var = sigma_to ** 2 * (sigma ** 2 - sigma_to ** 2) / sigma ** 2
+        sigma_up = jnp.sqrt(jnp.maximum(var, 0.0))
+        sigma_down = jnp.sqrt(jnp.maximum(sigma_to ** 2 - sigma_up ** 2, 0.0))
+        d = (sample.astype(jnp.float32) - x0) / sigma
+        prev = (sample.astype(jnp.float32) + (sigma_down - sigma) * d
+                + noise.astype(jnp.float32) * sigma_up)
+        return state, prev.astype(sample.dtype)
+
+
+class LMSDiscreteScheduler(_SigmaScheduler):
+    """diffusers LMSDiscreteScheduler (order 4): Adams-Bashforth over the
+    sigma grid. The per-step LMS coefficients are integrals of Lagrange
+    basis polynomials — precomputed numerically at init into a static
+    (n, 4) table, so the scan body is a weighted sum over a fixed-size
+    derivative history."""
+
+    lms_order = 4
+
+    def init(self, num_steps: int) -> Dict[str, jax.Array]:
+        state = super().init(num_steps)
+        sigmas = np.asarray(state["sigmas"], np.float64)
+        n = num_steps
+        coeffs = np.zeros((n, self.lms_order), np.float64)
+        for t in range(n):
+            order = min(t + 1, self.lms_order)
+            for j in range(order):
+                # integrate prod_{k!=j} (s - sig[t-k]) / (sig[t-j] - sig[t-k])
+                # over s in [sig[t], sig[t+1]]  (diffusers lms_derivative)
+                lo, hi = sigmas[t], sigmas[t + 1]
+                xs = np.linspace(lo, hi, 2049)
+                prod = np.ones_like(xs)
+                for k in range(order):
+                    if k == j:
+                        continue
+                    prod *= (xs - sigmas[t - k]) / (sigmas[t - j] - sigmas[t - k])
+                coeffs[t, j] = np.trapezoid(prod, xs)
+        state["lms_coeffs"] = jnp.asarray(coeffs, jnp.float32)
+        state["derivs"] = None  # carry, shaped lazily
+        return state
+
+    def init_carry(self, state, sample_shape, dtype):
+        state = dict(state)
+        state["derivs"] = jnp.zeros((self.lms_order, *sample_shape),
+                                    jnp.float32)
+        return state
+
+    def step(self, state, i, model_output, sample, noise=None):
+        sigma = state["sigmas"][i].astype(jnp.float32)
+        x0 = self._pred_x0(state, i, model_output, sample)
+        d = (sample.astype(jnp.float32) - x0) / sigma
+        derivs = jnp.concatenate([d[None], state["derivs"][:-1]], axis=0)
+        w = state["lms_coeffs"][i]  # (4,), newest first
+        delta = sum(w[k] * derivs[k] for k in range(self.lms_order))
+        prev = sample.astype(jnp.float32) + delta
+        out = dict(state)
+        out["derivs"] = derivs
+        return out, prev.astype(sample.dtype)
+
+
+class DPMSolverMultistepScheduler:
+    """DPM-Solver++ (2M), diffusers v0.14 defaults: solver_order=2,
+    algorithm_type='dpmsolver++', lower_order_final=True, no thresholding.
+
+    Order selection per step is static (first step -> 1st order; final
+    steps lowered when num_steps < 15), so the scan body is branch-free
+    with an x0-prediction history carry.
+    """
+
+    order = 1
+
+    def __init__(self, config: NoiseScheduleConfig = NoiseScheduleConfig(),
+                 solver_order: int = 2, lower_order_final: bool = True):
+        self.config = config
+        self.solver_order = solver_order
+        self.lower_order_final = lower_order_final
+
+    def init(self, num_steps: int) -> Dict[str, jax.Array]:
+        cfg = self.config
+        ac = alphas_cumprod(cfg)
+        # diffusers dpm set_timesteps: linspace(0, T-1, n+1).round()[::-1][:-1]
+        ts = (np.linspace(0, cfg.num_train_timesteps - 1, num_steps + 1)
+              .round()[::-1][:-1].astype(np.int64).copy())
+        alpha_t = np.sqrt(ac)          # VP alpha
+        sigma_t = np.sqrt(1 - ac)      # VP sigma
+        lam = np.log(alpha_t) - np.log(sigma_t)
+
+        # per-step (t, s0, s1) timesteps for up-to-2nd-order updates
+        n = num_steps
+        use_order2 = np.zeros(n, dtype=bool)
+        for i in range(n):
+            lower = (self.lower_order_final and n < 15 and i == n - 1)
+            use_order2[i] = (i >= 1 and self.solver_order >= 2 and not lower)
+
+        t_prev = np.concatenate([[0], ts[:-1]])  # s0 at step i is ts[i-1]
+        # "prev_timestep" in diffusers = ts[i+1] (0 at the end)
+        t_next = np.concatenate([ts[1:], [0]])
+
+        def gather(arr, idx):
+            return arr[np.clip(idx, 0, len(arr) - 1)]
+
+        return {
+            "timesteps": jnp.asarray(ts, jnp.int32),
+            "lam_t": jnp.asarray(gather(lam, t_next), jnp.float32),
+            "lam_s0": jnp.asarray(gather(lam, ts), jnp.float32),
+            "lam_s1": jnp.asarray(gather(lam, t_prev), jnp.float32),
+            "alpha_T": jnp.asarray(gather(alpha_t, t_next), jnp.float32),
+            "sigma_T": jnp.asarray(gather(sigma_t, t_next), jnp.float32),
+            "alpha_s0": jnp.asarray(gather(alpha_t, ts), jnp.float32),
+            "sigma_s0": jnp.asarray(gather(sigma_t, ts), jnp.float32),
+            "use_order2": jnp.asarray(use_order2),
+            "m_hist": None,
+        }
+
+    def init_carry(self, state, sample_shape, dtype):
+        state = dict(state)
+        state["m_hist"] = jnp.zeros((2, *sample_shape), jnp.float32)
+        return state
+
+    def init_noise_sigma(self, state):
+        return jnp.asarray(1.0, jnp.float32)
+
+    def scale_model_input(self, state, i, sample):
+        return sample
+
+    def _to_x0(self, state, i, model_output, sample):
+        cfg = self.config
+        a = state["alpha_s0"][i]
+        s = state["sigma_s0"][i]
+        mo = model_output.astype(jnp.float32)
+        x = sample.astype(jnp.float32)
+        if cfg.prediction_type == "epsilon":
+            return (x - s * mo) / a
+        if cfg.prediction_type == "v_prediction":
+            return a * x - s * mo
+        if cfg.prediction_type == "sample":
+            return mo
+        raise ValueError(cfg.prediction_type)
+
+    def step(self, state, i, model_output, sample, noise=None):
+        x = sample.astype(jnp.float32)
+        m0 = self._to_x0(state, i, model_output, sample)
+        m1 = state["m_hist"][0]  # previous step's x0 pred
+
+        lam_t, lam_s0, lam_s1 = state["lam_t"][i], state["lam_s0"][i], state["lam_s1"][i]
+        h = lam_t - lam_s0
+        alpha_T, sigma_T, sigma_s0 = (state["alpha_T"][i], state["sigma_T"][i],
+                                      state["sigma_s0"][i])
+
+        # 1st order (dpmsolver++): x = (sigma_t/sigma_s0) x - alpha_t (e^-h - 1) m0
+        first = (sigma_T / sigma_s0) * x - alpha_T * (jnp.exp(-h) - 1.0) * m0
+        # 2nd order multistep: + correction with D1 = (m0 - m1)/r0
+        h_0 = lam_s0 - lam_s1
+        r0 = h_0 / jnp.where(h == 0, 1.0, h)
+        d1 = (m0 - m1) / jnp.where(r0 == 0, 1.0, r0)
+        second = first - 0.5 * alpha_T * (jnp.exp(-h) - 1.0) * d1
+
+        prev = jnp.where(state["use_order2"][i], second, first)
+        out = dict(state)
+        out["m_hist"] = jnp.stack([m0, state["m_hist"][0]])
+        return out, prev.astype(sample.dtype)
+
+
 SCHEDULER_MAPPING: Dict[str, Any] = {
     "ddim": DDIMScheduler,
     "plms": PNDMScheduler,
+    "lms": LMSDiscreteScheduler,
+    "euler": EulerDiscreteScheduler,
+    "euler_ancestral": EulerAncestralDiscreteScheduler,
+    "dpm_solver++": DPMSolverMultistepScheduler,
 }

@@ -8,6 +8,7 @@ Plus grid regression pins against diffusers v0.14 values.
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from e4t_diffusion_tpu.diffusion.schedulers import (
     NoiseScheduleConfig,
@@ -84,6 +85,98 @@ def test_ddim_converges_to_analytic_target():
 def test_pndm_converges_to_analytic_target():
     out = _run_sampler(PNDMScheduler, 50)
     np.testing.assert_allclose(out, _analytic_fixed_point(), atol=2e-2)
+
+
+def _run_sigma_sampler(scheduler_cls, num_steps, target=1.7, seed=0,
+                       **kwargs):
+    """Run a sigma-parameterized sampler with the analytic eps* oracle
+    eps = (x - C) / sigma (x is the UN-scaled latent in sigma space)."""
+    cfg = NoiseScheduleConfig()
+    sch = scheduler_cls(cfg, **kwargs)
+    state = sch.init(num_steps)
+    sigmas = state["sigmas"]
+    x = jnp.full((1, 2, 4, 4), 3.0) * sch.init_noise_sigma(state)
+    if hasattr(sch, "init_carry"):
+        state = sch.init_carry(state, x.shape, x.dtype)
+    key = jax.random.PRNGKey(seed)
+
+    def body(carry, i):
+        state, x = carry
+        sigma = sigmas[i]
+        eps = (x - target) / sigma
+        noise = jax.random.normal(jax.random.fold_in(key, i), x.shape)
+        state, x = sch.step(state, i, eps, x, noise=noise)
+        return (state, x), None
+
+    (state, x), _ = jax.lax.scan(body, (state, x), jnp.arange(num_steps))
+    return np.asarray(x)
+
+
+def test_euler_converges_exactly():
+    from e4t_diffusion_tpu.diffusion.schedulers import EulerDiscreteScheduler
+
+    out = _run_sigma_sampler(EulerDiscreteScheduler, 30)
+    np.testing.assert_allclose(out, 1.7, atol=1e-4)
+
+
+def test_euler_ancestral_converges():
+    from e4t_diffusion_tpu.diffusion.schedulers import (
+        EulerAncestralDiscreteScheduler)
+
+    out = _run_sigma_sampler(EulerAncestralDiscreteScheduler, 30)
+    # final sigma_to == 0 collapses onto the target exactly
+    np.testing.assert_allclose(out, 1.7, atol=1e-4)
+
+
+def test_lms_converges_exactly():
+    from e4t_diffusion_tpu.diffusion.schedulers import LMSDiscreteScheduler
+
+    out = _run_sigma_sampler(LMSDiscreteScheduler, 30)
+    np.testing.assert_allclose(out, 1.7, atol=1e-3)
+
+
+def test_dpm_solver_pp_converges():
+    from e4t_diffusion_tpu.diffusion.schedulers import (
+        DPMSolverMultistepScheduler)
+
+    cfg = NoiseScheduleConfig()
+    sch = DPMSolverMultistepScheduler(cfg)
+    num_steps = 20
+    state = sch.init(num_steps)
+    ac = jnp.asarray(alphas_cumprod(cfg), jnp.float32)
+    ts = state["timesteps"]
+    target = 1.7
+    x = jnp.full((1, 2, 4, 4), 3.0)
+    state = sch.init_carry(state, x.shape, x.dtype)
+    a0 = jnp.sqrt(ac[ts[0]])
+    s0 = jnp.sqrt(1 - ac[ts[0]])
+    resid = (3.0 - a0 * target) / s0  # eps* preserved exactly by DPM++
+
+    def body(carry, i):
+        state, x = carry
+        a = jnp.sqrt(ac[ts[i]])
+        s = jnp.sqrt(1 - ac[ts[i]])
+        eps = (x - a * target) / s
+        state, x = sch.step(state, i, eps, x)
+        return (state, x), None
+
+    (state, x), _ = jax.lax.scan(body, (state, x), jnp.arange(num_steps))
+    expected = float(jnp.sqrt(ac[0]) * target + jnp.sqrt(1 - ac[0]) * resid)
+    np.testing.assert_allclose(np.asarray(x), expected, atol=2e-3)
+
+
+def test_sigma_scale_model_input():
+    from e4t_diffusion_tpu.diffusion.schedulers import EulerDiscreteScheduler
+
+    sch = EulerDiscreteScheduler(NoiseScheduleConfig())
+    state = sch.init(10)
+    x = jnp.ones((1, 1))
+    scaled = sch.scale_model_input(state, 0, x)
+    sigma = float(state["sigmas"][0])
+    np.testing.assert_allclose(float(scaled[0, 0]),
+                               1.0 / np.sqrt(sigma ** 2 + 1), rtol=1e-5)
+    assert float(sch.init_noise_sigma(state)) == pytest.approx(
+        float(jnp.max(state["sigmas"])))
 
 
 def test_pndm_timestep_sequence_duplicates_second_to_last():
