@@ -225,7 +225,15 @@ class E4TDataLoader:
 
         self.source = source
         self.batch_size = batch_size
-        self.transform = make_transform(resolution, random_crop, seed=seed)
+        self.transform = None
+        if os.environ.get("E4T_DISABLE_NATIVE", "0") != "1":
+            from e4t_diffusion_tpu.data import native_ops
+
+            if native_ops.available():
+                self.transform = native_ops.make_native_transform(
+                    resolution, random_crop, seed=seed)
+        if self.transform is None:
+            self.transform = make_transform(resolution, random_crop, seed=seed)
         self.seed = seed
         self.use_tar = use_tar or ".tar" in source
         self.streaming = streaming

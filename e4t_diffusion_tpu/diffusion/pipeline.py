@@ -133,10 +133,20 @@ def make_sample_fn(modules: E4TModules, scheduler, num_inference_steps: int,
             t_b = jnp.broadcast_to(t, (bsz,))
             latents_in = scheduler.scale_model_input(state, i, latents)
 
-            # UNet encoder-half on the "" states (reference pipeline:191)
-            tap = modules.unet.apply(
-                {"params": params_eff}, latents_in, t_b, uncond_b,
-                return_encoder_outputs=True)
+            # E4T tap on the "" states (reference pipeline:191). Under CFG
+            # the uncond full pass shares its down+mid computation with the
+            # tap, so one "with_eps" call yields both eps_uncond and the tap
+            # — mathematically identical to the reference's separate
+            # encoder-half + batch-doubled full pass, one encoder-half
+            # cheaper per step.
+            if do_cfg:
+                eps_u, tap = modules.unet.apply(
+                    {"params": params_eff}, latents_in, t_b, uncond_b,
+                    return_encoder_outputs="with_eps")
+            else:
+                tap = modules.unet.apply(
+                    {"params": params_eff}, latents_in, t_b, uncond_b,
+                    return_encoder_outputs=True)
             unet_feats = pool_encoder_features(tap)
             domain_embed = modules.e4t_encoder.apply(
                 {"params": e4t_params}, clip_feats, unet_feats,
@@ -149,16 +159,12 @@ def make_sample_fn(modules: E4TModules, scheduler, num_inference_steps: int,
             cond_states, _ = modules.text_encoder.apply(
                 {"params": text_params}, inputs_embeds=embeds)
 
+            eps_c = modules.unet.apply({"params": params_eff}, latents_in,
+                                       t_b, cond_states.astype(uncond_b.dtype))
             if do_cfg:
-                unet_in = jnp.concatenate([latents_in, latents_in])
-                ctx = jnp.concatenate([uncond_b, cond_states.astype(uncond_b.dtype)])
-                t2 = jnp.concatenate([t_b, t_b])
-                eps = modules.unet.apply({"params": params_eff}, unet_in, t2, ctx)
-                eps_u, eps_c = jnp.split(eps, 2)
                 eps = eps_u + guidance_scale * (eps_c - eps_u)
             else:
-                eps = modules.unet.apply({"params": params_eff}, latents_in,
-                                         t_b, cond_states)
+                eps = eps_c
             noise = (jax.random.normal(jax.random.fold_in(noise_rng, i),
                                        latents.shape, latents.dtype)
                      if stochastic else None)

@@ -438,11 +438,18 @@ class UNet2DConditionModel(nn.Module):
             cfg.block_out_channels[-1], heads, cfg.norm_num_groups,
             cfg.norm_eps, dtype=self.dtype, name="mid_block")(x, temb, context)
 
-        if return_encoder_outputs:
+        if return_encoder_outputs is True:
             # E4T tap: all down-block residuals + mid output (NHWC), to be
             # spatially mean-pooled by the E4T encoder. Matches the CompVis
             # convention (/root/reference/e4t/models/unet_2d_condition.py:517-521).
             return down_res + [x]
+        # "with_eps": full forward AND the tap. Used by the sampler's
+        # uncond-pass fusion: under CFG the uncond branch's down+mid
+        # computation is bit-identical to the reference's separate
+        # encoder-half tap pass (same latents/timestep/"" context), so the
+        # tap comes for free (pipeline.py).
+        tap = (list(down_res) + [x]
+               if return_encoder_outputs == "with_eps" else None)
 
         rev_channels = list(reversed(cfg.block_out_channels))
         prev_ch = cfg.block_out_channels[-1]
@@ -473,7 +480,10 @@ class UNet2DConditionModel(nn.Module):
         x = nn.silu(x)
         x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv_out")(x)
-        return jnp.transpose(x, (0, 3, 1, 2))  # NHWC -> NCHW
+        eps = jnp.transpose(x, (0, 3, 1, 2))  # NHWC -> NCHW
+        if tap is not None:
+            return eps, tap
+        return eps
 
 
 def tap_feature_dim(config: UNetConfig) -> int:
