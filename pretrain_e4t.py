@@ -43,6 +43,7 @@ from e4t_diffusion_tpu.training.train_step import (
 from e4t_diffusion_tpu.utils import artifacts
 from e4t_diffusion_tpu.utils.image import image_grid, to_pil
 from e4t_diffusion_tpu.utils.trackers import make_tracker
+from e4t_diffusion_tpu.utils.profiling import StepTimer
 from e4t_diffusion_tpu.models.e4t_encoder import E4TEncoderConfig
 from e4t_diffusion_tpu.models.vit import ViTConfig
 
@@ -117,6 +118,12 @@ def parse_args():
     parser.add_argument("--vit_config", type=str, default=None,
                         choices=[None, "tiny"],
                         help="test hook: tiny vision-tower geometry")
+    # profiling (new subsystem vs reference, SURVEY.md §5.1)
+    parser.add_argument("--profile_steps", type=int, default=0,
+                        help="capture a jax.profiler trace for steps "
+                             "[10, 10+N)")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="trace output dir (default <output>/profile)")
     args = parser.parse_args()
     env_local_rank = int(os.environ.get("LOCAL_RANK", -1))
     if env_local_rank != -1 and env_local_rank != args.local_rank:
@@ -310,6 +317,10 @@ def main():
                     disable=not is_main, desc="Steps")
     micro_step = 0
     t_start = time.perf_counter()
+    timer = StepTimer(warmup_steps=2, batch_size=args.train_batch_size
+                      * jax.device_count())
+    profile_dir = args.profile_dir or os.path.join(args.output_dir, "profile")
+    profiling = False
     try:
         for batch_np in loader:
             input_ids, ph_idx = sampler.sample(args.train_batch_size)
@@ -332,6 +343,17 @@ def main():
                 continue
             global_step += 1
             progress.update(1)
+            if args.profile_steps and is_main:
+                if global_step == 10 and not profiling:
+                    jax.block_until_ready(metrics["loss"])
+                    jax.profiler.start_trace(profile_dir)
+                    profiling = True
+                elif profiling and global_step == 10 + args.profile_steps:
+                    jax.block_until_ready(metrics["loss"])
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    print(f"[profiler] trace written to {profile_dir}")
+            timer.step()
             if global_step % args.checkpointing_steps == 0:
                 save_weights(global_step)
                 if is_main:
@@ -345,15 +367,20 @@ def main():
                     "train/loss_diff": float(metrics["loss_diff"]),
                     "train/loss_reg": float(metrics["loss_reg"]),
                     "train/lr": float(schedule(global_step))}
+            logs.update(timer.metrics())
             progress.set_postfix(**logs)
             tracker.log(logs, global_step)
             if global_step >= args.max_train_steps:
                 break
     except KeyboardInterrupt:
         print("Summoning checkpoint...")
+    if profiling:
+        jax.profiler.stop_trace()
     wall = time.perf_counter() - t_start
     if global_step > 0:
         print(f"steps/sec: {global_step / wall:.3f}")
+        for k, v in timer.metrics().items():
+            print(f"  {k}: {v:.4f}")
     save_weights(global_step)
     tracker.finish()
 
