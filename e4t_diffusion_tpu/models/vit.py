@@ -55,6 +55,7 @@ class ViTConfig:
 class ViTBlock(nn.Module):
     config: ViTConfig
     dtype: jnp.dtype = jnp.float32
+    causal: bool = False  # text towers (CLIP scoring) reuse this block
 
     @nn.compact
     def __call__(self, x):
@@ -71,7 +72,8 @@ class ViTBlock(nn.Module):
         q = q.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
         k = k.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
         v = v.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
-        o = dot_product_attention(q, k, v, scale=1.0 / math.sqrt(hd))
+        o = dot_product_attention(q, k, v, scale=1.0 / math.sqrt(hd),
+                                  causal=self.causal)
         o = o.transpose(0, 2, 1, 3).reshape(b, s, d)
         x = x + nn.Dense(d, dtype=self.dtype, name="attn_out_proj")(o)
 
