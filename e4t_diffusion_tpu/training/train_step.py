@@ -141,13 +141,16 @@ def make_optimizer(learning_rate, cfg: E4TTrainConfig,
                    weight_decay: float = 1e-2,
                    use_8bit: bool = False) -> optax.GradientTransformation:
     """AdamW matching torch defaults (the reference's optimizer,
-    /root/reference/pretrain_e4t.py:387-392). ``use_8bit`` maps the
-    bitsandbytes AdamW8bit flag to bf16 optimizer moments (documented
-    deviation: same memory goal, TPU-native mechanism)."""
-    kwargs = dict(b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay)
+    /root/reference/pretrain_e4t.py:387-392). ``use_8bit`` selects the
+    block-quantized 8-bit-moment AdamW (training/optim8bit.py), the
+    TPU-native bitsandbytes AdamW8bit equivalent."""
     if use_8bit:
-        kwargs["mu_dtype"] = jnp.bfloat16
-    tx = optax.adamw(learning_rate, **kwargs)
+        from e4t_diffusion_tpu.training.optim8bit import adamw_8bit
+
+        tx = adamw_8bit(learning_rate, weight_decay=weight_decay)
+    else:
+        tx = optax.adamw(learning_rate, b1=0.9, b2=0.999, eps=1e-8,
+                         weight_decay=weight_decay)
     if cfg.max_grad_norm is not None:
         tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), tx)
     return tx
