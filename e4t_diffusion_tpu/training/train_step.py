@@ -42,6 +42,7 @@ class E4TTrainConfig:
     reg_lambda: float = 0.01
     train_unet: bool = False          # phase 2 only
     train_text_encoder: bool = False  # phase 2 optional
+    train_clip_vision: bool = False   # --unfreeze_clip_vision
     max_grad_norm: Optional[float] = None  # set (1.0) in phase 2
     remat_unet: bool = True
 
@@ -49,9 +50,15 @@ class E4TTrainConfig:
 def split_trainable(params: Dict, cfg: E4TTrainConfig):
     """Partition the full param dict into (trainable, frozen) following the
     reference's optimizer param selection
-    (/root/reference/pretrain_e4t.py:274-278, tuning_e4t.py:139-146)."""
-    trainable = {"e4t": params["e4t"], "offsets": params["offsets"]}
+    (/root/reference/pretrain_e4t.py:274-278, tuning_e4t.py:139-146).
+    The E4T vision tower is frozen by default inside the encoder
+    (/root/reference/e4t/encoder.py:98-99), trainable only with
+    --unfreeze_clip_vision."""
+    e4t = dict(params["e4t"])
     frozen = {"vae": params["vae"]}
+    if not cfg.train_clip_vision and "clip_vision" in e4t:
+        frozen["e4t_frozen"] = {"clip_vision": e4t.pop("clip_vision")}
+    trainable = {"e4t": e4t, "offsets": params["offsets"]}
     if cfg.train_unet:
         trainable["unet"] = params["unet"]
     else:
@@ -64,7 +71,11 @@ def split_trainable(params: Dict, cfg: E4TTrainConfig):
 
 
 def merge_params(trainable: Dict, frozen: Dict) -> Dict:
-    return {**frozen, **trainable}
+    merged = {**frozen, **trainable}
+    e4t_frozen = merged.pop("e4t_frozen", None)
+    if e4t_frozen is not None:
+        merged["e4t"] = {**merged["e4t"], **e4t_frozen}
+    return merged
 
 
 def e4t_loss_fn(modules: E4TModules, ddpm: DDPMScheduler,
@@ -116,7 +127,7 @@ def e4t_loss_fn(modules: E4TModules, ddpm: DDPMScheduler,
                      uncond_states, True)
     unet_feats = pool_encoder_features(tap)
     domain_embed = modules.e4t_encoder.apply(
-        {"params": trainable["e4t"]}, batch["pixel_values"], unet_feats)
+        {"params": p["e4t"]}, batch["pixel_values"], unet_feats)
     word = class_embed[None] + cfg.domain_embed_scale * domain_embed
 
     inputs_embeds = embed_tokens(text_params, batch["input_ids"])

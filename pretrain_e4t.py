@@ -199,6 +199,7 @@ def main():
         domain_embed_scale=args.domain_embed_scale,
         reg_lambda=args.reg_lambda,
         train_unet=False, train_text_encoder=False,
+        train_clip_vision=args.unfreeze_clip_vision,
         max_grad_norm=None,  # pretrain does not clip (reference parity)
     )
     schedule = make_lr_schedule(

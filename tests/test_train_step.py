@@ -86,7 +86,11 @@ def test_pretrain_step_updates_only_offsets_and_encoder(tiny_world):
     assert _changed(state.trainable["offsets"], state2.trainable["offsets"])
     assert _changed(state.trainable["e4t"], state2.trainable["e4t"])
     assert set(state.trainable.keys()) == {"e4t", "offsets"}
-    assert set(frozen.keys()) == {"unet", "vae", "text"}
+    assert set(frozen.keys()) == {"unet", "vae", "text", "e4t_frozen"}
+    # the frozen ViT tower is excluded from the trainables (reference
+    # freezes clip_vision by default, encoder.py:98-99)
+    assert "clip_vision" not in state.trainable["e4t"]
+    assert "clip_vision" in frozen["e4t_frozen"]
 
 
 def test_tuning_step_trains_full_unet(tiny_world):
@@ -101,7 +105,7 @@ def test_tuning_step_trains_full_unet(tiny_world):
     assert np.isfinite(metrics["loss"])
     assert _changed(state.trainable["unet"], state2.trainable["unet"])
     assert _changed(state.trainable["text"], state2.trainable["text"])
-    assert set(frozen.keys()) == {"vae"}
+    assert set(frozen.keys()) == {"vae", "e4t_frozen"}
     # clipping active: grad norm metric present and finite
     assert np.isfinite(metrics["grad_norm"])
 

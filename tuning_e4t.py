@@ -142,6 +142,7 @@ def main():
         reg_lambda=args.reg_lambda,
         train_unet=True,
         train_text_encoder=args.train_text_encoder,
+        train_clip_vision=args.unfreeze_clip_vision,
         max_grad_norm=args.max_grad_norm,
     )
     schedule = make_lr_schedule(args.lr_scheduler, learning_rate,
