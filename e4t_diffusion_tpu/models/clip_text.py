@@ -47,9 +47,12 @@ def quick_gelu(x):
 class CLIPAttention(nn.Module):
     config: CLIPTextConfig
     dtype: jnp.dtype = jnp.float32
+    causal: bool = True
 
     @nn.compact
-    def __call__(self, x, causal: bool = True):
+    def __call__(self, x, causal: bool = None):
+        if causal is None:
+            causal = self.causal
         cfg = self.config
         d = cfg.hidden_size
         h = cfg.num_heads
@@ -69,13 +72,15 @@ class CLIPAttention(nn.Module):
 class CLIPEncoderLayer(nn.Module):
     config: CLIPTextConfig
     dtype: jnp.dtype = jnp.float32
+    causal: bool = True
 
     @nn.compact
     def __call__(self, x):
         cfg = self.config
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="layer_norm1")(x)
-        x = x + CLIPAttention(cfg, dtype=self.dtype, name="self_attn")(h)
+        x = x + CLIPAttention(cfg, dtype=self.dtype, causal=self.causal,
+                              name="self_attn")(h)
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="layer_norm2")(x)
         h = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="mlp_fc1")(h)

@@ -467,6 +467,44 @@ def e4t_encoder_to_torch(params: Dict, config) -> Dict[str, np.ndarray]:
     return sd
 
 
+def clip_vision_hf_from_torch(sd: Dict[str, np.ndarray], num_layers: int,
+                              prefix: str = "vision_model.") -> Dict:
+    """HF CLIPVisionModel state dict -> flax params
+    (models/e4t_encoder_legacy.CLIPVisionModel)."""
+    sub = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    c = _Converter(sub)
+    c.conv("embeddings.patch_embedding", "patch_embedding", bias=False)
+    c.raw("embeddings.class_embedding", "class_embedding")
+    c.raw("embeddings.position_embedding.weight", "position_embedding")
+    c.norm("pre_layrnorm", "pre_layrnorm")
+    c.norm("post_layernorm", "post_layernorm")
+    for i in range(num_layers):
+        t, f = f"encoder.layers.{i}.", f"layers_{i}."
+        c.norm(t + "layer_norm1", f + "layer_norm1")
+        c.norm(t + "layer_norm2", f + "layer_norm2")
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            c.linear(t + "self_attn." + proj, f + "self_attn." + proj)
+        c.linear(t + "mlp.fc1", f + "mlp_fc1")
+        c.linear(t + "mlp.fc2", f + "mlp_fc2")
+    return c.finish(ignore_unused=(r"position_ids",))
+
+
+def e4t_encoder_legacy_from_torch(sd: Dict[str, np.ndarray], config) -> Dict:
+    """E4TEncoderLegacy state dict -> flax params
+    (/root/reference/e4t/encoder.py:11-49 layout: clip_vision.vision_model.*,
+    linear, final_linear)."""
+    tree: Dict = {}
+    tree["clip_vision"] = clip_vision_hf_from_torch(
+        sd, config.vision.num_layers, prefix="clip_vision.vision_model.")
+    rest = {k: np.asarray(v) for k, v in sd.items()
+            if not k.startswith("clip_vision.")}
+    c = _Converter(rest)
+    c.linear("linear", "linear")
+    c.linear("final_linear", "final_linear")
+    tree.update(c.finish(ignore_unused=(r"^(mean|std)$",)))
+    return tree
+
+
 # ---------------------------------------------------------------------------
 # .pt io helpers (torch only needed here)
 # ---------------------------------------------------------------------------

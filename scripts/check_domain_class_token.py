@@ -5,6 +5,10 @@ local tokenizer path instead of a hub id (no egress on TPU pods).
 
 Usage: python scripts/check_domain_class_token.py <token> <tokenizer_dir>
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import sys
 
 from e4t_diffusion_tpu.utils.tokenizer import CLIPTokenizer

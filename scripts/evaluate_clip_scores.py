@@ -17,6 +17,10 @@ The placeholder token is replaced by --class_word for text scoring (the
 prompt's personalization token has no meaning to the scoring model).
 Prints one JSON line.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 import json
 import os

@@ -18,6 +18,10 @@ Usage:
       --train_image_dataset /data/ffhq --save_dir /data/ffhq_aug \
       --num_images_per_image 4 --resolution 512
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 import hashlib
 import os
