@@ -68,6 +68,36 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
+def zero1_sharding(tree, mesh: Mesh):
+    """ZeRO-1: place optimizer-state leaves sharded over ``dp`` on their
+    largest dp-divisible axis (replicated otherwise). The reference has no
+    state sharding at all (plain DDP, SURVEY.md §2.4); with N chips this
+    cuts optimizer-state HBM by ~N.
+
+    Returns a pytree of NamedShardings aligned with ``tree`` — use as
+    jit in_shardings/out_shardings or with jax.device_put.
+    """
+    n = mesh.devices.size
+    rep = replicated(mesh)
+
+    def spec(x):
+        shape = getattr(x, "shape", ())
+        for axis, dim in enumerate(shape):
+            if dim % n == 0 and dim >= n:
+                parts = [None] * len(shape)
+                parts[axis] = DATA_AXIS
+                return NamedSharding(mesh, P(*parts))
+        return rep
+
+    return jax.tree_util.tree_map(spec, tree)
+
+
+def apply_zero1(opt_state, mesh: Mesh):
+    """device_put the optimizer state with ZeRO-1 shardings."""
+    shardings = zero1_sharding(opt_state, mesh)
+    return jax.tree_util.tree_map(jax.device_put, opt_state, shardings)
+
+
 def local_batch_slice(global_batch: int, mesh: Mesh) -> int:
     """Per-process slice size for input pipelines (replaces webdataset
     split_by_node, /root/reference/pretrain_e4t.py:310-312)."""

@@ -71,6 +71,10 @@ def main():
     else:
         dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
 
+    from e4t_diffusion_tpu.utils.hub import resolve_model_dir
+
+    args.pretrained_model_name_or_path = resolve_model_dir(
+        args.pretrained_model_name_or_path)
     config = load_config(args.pretrained_model_name_or_path)
     sd_path = getattr_from_config(config, "pretrained_model_name_or_path")
     e4t_config = get_e4t_config(config)

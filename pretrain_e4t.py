@@ -118,6 +118,9 @@ def parse_args():
     parser.add_argument("--vit_config", type=str, default=None,
                         choices=[None, "tiny"],
                         help="test hook: tiny vision-tower geometry")
+    parser.add_argument("--zero1", action="store_true", default=False,
+                        help="shard optimizer state over the dp mesh axis "
+                             "(ZeRO-1); cuts optimizer HBM by ~n_devices")
     # profiling (new subsystem vs reference, SURVEY.md §5.1)
     parser.add_argument("--profile_steps", type=int, default=0,
                         help="capture a jax.profiler trace for steps "
@@ -239,6 +242,16 @@ def main():
         streaming=args.iterable_dataset)
     if loader.num_samples:
         print(f"dataset size: {loader.num_samples}")
+
+    if args.zero1:
+        from e4t_diffusion_tpu.training.train_step import TrainState
+
+        state = TrainState(
+            step=jax.device_put(state.step, pmesh.replicated(mesh)),
+            trainable=pmesh.replicate(state.trainable, mesh),
+            opt_state=pmesh.apply_zero1(state.opt_state, mesh))
+        frozen = pmesh.replicate(frozen, mesh)
+        print("ZeRO-1: optimizer state sharded over dp")
 
     ddpm = DDPMScheduler(base["schedule_config"])
     step_fn = jax.jit(make_train_step(modules, ddpm, cfg, tx),

@@ -100,6 +100,10 @@ def main():
     np.random.seed(args.seed)
 
     # load pre-trained args (two-level config provenance, SURVEY.md §5.6)
+    from e4t_diffusion_tpu.utils.hub import resolve_model_dir
+
+    args.pretrained_model_name_or_path = resolve_model_dir(
+        args.pretrained_model_name_or_path)
     pretrained_args = load_config(args.pretrained_model_name_or_path)
     sd_path = pretrained_args.pretrained_model_name_or_path
     base = artifacts.load_sd_base(sd_path)
