@@ -1,0 +1,23 @@
+"""Runtime setup shared by the CLIs."""
+from __future__ import annotations
+
+import os
+
+import jax
+
+
+def setup_compilation_cache(path: str | None = None) -> None:
+    """Persistent XLA compilation cache: the phase-2 tuning step and the
+    50-step sampling scan compile in minutes; with the cache, repeat CLI
+    invocations skip straight to execution. Disable with
+    E4T_COMPILE_CACHE=0."""
+    env = os.environ.get("E4T_COMPILE_CACHE", "")
+    if env == "0":
+        return
+    path = path or env or os.path.expanduser("~/.cache/e4t_jax")
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception as e:  # cache is best-effort
+        print(f"[runtime] compilation cache disabled: {e}")

@@ -66,6 +66,9 @@ def parse_args():
 def main():
     args = parse_args()
     print(f"devices: {jax.devices()}")
+    from e4t_diffusion_tpu.utils.runtime import setup_compilation_cache
+
+    setup_compilation_cache()
     if args.dtype == "auto":
         dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
     else:

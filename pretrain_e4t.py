@@ -141,6 +141,9 @@ def parse_args():
 def main():
     args = parse_args()
     pmesh.maybe_initialize_distributed()
+    from e4t_diffusion_tpu.utils.runtime import setup_compilation_cache
+
+    setup_compilation_cache()
     mesh = pmesh.get_mesh()
     is_main = jax.process_index() == 0
     np.random.seed(args.seed)

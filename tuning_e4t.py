@@ -97,6 +97,9 @@ def parse_args():
 def main():
     args = parse_args()
     pmesh_handle = pmesh.get_mesh()
+    from e4t_diffusion_tpu.utils.runtime import setup_compilation_cache
+
+    setup_compilation_cache()
     np.random.seed(args.seed)
 
     # load pre-trained args (two-level config provenance, SURVEY.md §5.6)
