@@ -34,7 +34,10 @@ def zeros_params(init_fn, *args):
 
 
 def main():
-    batch = int(os.environ.get("E4T_BENCH_BATCH", "4"))
+    from e4t_diffusion_tpu.utils.runtime import setup_compilation_cache
+
+    setup_compilation_cache()
+    batch = int(os.environ.get("E4T_BENCH_BATCH", "8"))
     steps = int(os.environ.get("E4T_BENCH_STEPS", "50"))
     res = int(os.environ.get("E4T_BENCH_RES", "512"))
     repeats = int(os.environ.get("E4T_BENCH_REPEATS", "3"))

@@ -92,7 +92,7 @@ def preprocess_image(image) -> np.ndarray:
 
 def make_sample_fn(modules: E4TModules, scheduler, num_inference_steps: int,
                    guidance_scale: float, domain_embed_scale: float,
-                   return_latents: bool = False):
+                   return_latents: bool = False, eta: float = 0.0):
     """Build the jit-compiled end-to-end sampling function.
 
     Static: modules, scheduler, step count, guidance, embed scale.
@@ -101,7 +101,10 @@ def make_sample_fn(modules: E4TModules, scheduler, num_inference_steps: int,
     do_cfg = guidance_scale > 1.0
     state0 = scheduler.init(num_inference_steps)
     timesteps = state0["timesteps"]
-    stochastic = getattr(scheduler, "stochastic", False)
+    stochastic = getattr(scheduler, "stochastic", False) or eta > 0.0
+    step_kwargs = {"eta": eta} if (eta > 0.0
+                                   and isinstance(scheduler, DDIMScheduler)
+                                   ) else {}
 
     @jax.jit
     def sample(unet_params, offsets, vae_params, text_params, e4t_params,
@@ -169,7 +172,7 @@ def make_sample_fn(modules: E4TModules, scheduler, num_inference_steps: int,
                                        latents.shape, latents.dtype)
                      if stochastic else None)
             state, latents = scheduler.step(state, i, eps, latents,
-                                            noise=noise)
+                                            noise=noise, **step_kwargs)
             return (state, latents), None
 
         (state, latents), _ = jax.lax.scan(
@@ -238,7 +241,9 @@ class StableDiffusionE4TPipeline:
     def __call__(self, prompt: str, image,
                  num_inference_steps: int = 50,
                  guidance_scale: float = 7.5,
+                 negative_prompt: Optional[str] = None,
                  num_images_per_prompt: int = 1,
+                 eta: float = 0.0,
                  height: Optional[int] = None,
                  width: Optional[int] = None,
                  seed: Optional[int] = None,
@@ -246,6 +251,8 @@ class StableDiffusionE4TPipeline:
                  domain_embed_scale: Optional[float] = None,
                  scheduler_type: Optional[str] = None,
                  output_type: str = "np"):
+        # reference parity (/root/reference/e4t/pipeline_stable_diffusion_e4t.py:151)
+        assert negative_prompt is None, "negative_prompt is not supported"
         modules = self.modules
         ucfg = modules.unet.config
         vae_scale = 2 ** (len(modules.vae.config.block_out_channels) - 1)
@@ -268,13 +275,13 @@ class StableDiffusionE4TPipeline:
                       width // vae_scale), jnp.float32)
         latents = jnp.asarray(latents)
 
-        key = (id(scheduler.__class__), num_inference_steps,
-               float(guidance_scale), float(des), b,
-               height, width, "np" != "latent")
+        key = (scheduler.__class__.__name__, num_inference_steps,
+               float(guidance_scale), float(des), b, float(eta),
+               height, width, output_type == "latent")
         if key not in self._fn_cache:
             self._fn_cache[key] = make_sample_fn(
                 modules, scheduler, num_inference_steps, guidance_scale, des,
-                return_latents=(output_type == "latent"))
+                return_latents=(output_type == "latent"), eta=eta)
         fn = self._fn_cache[key]
 
         text_params = self.params["text"]

