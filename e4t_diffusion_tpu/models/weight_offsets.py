@@ -141,6 +141,26 @@ def init_offset_bank(key, unet_config, dtype=jnp.float32) -> Dict:
     return bank
 
 
+def offset_linear_apply(wo_params: Dict, base_kernel: jax.Array,
+                        x: jax.Array, bias: jax.Array = None) -> jax.Array:
+    """y = x @ (W_base * (1 + offset)) with gradients flowing to the
+    offset parameters through the product rule.
+
+    JAX-native equivalent of the reference's experimental gradient-hook
+    ``Model`` (/root/reference/e4t/weightoffsets.py:26-49), which mutated
+    linear.weight.data and re-routed weight gradients into the
+    hypernetwork via a backward hook. Here the same math is just function
+    composition — differentiate normally. Kept as the single-layer demo /
+    unit-test surface for the fold semantics used by fold_offset_bank.
+    """
+    o = compute_offset(wo_params)
+    w_eff = base_kernel * (1.0 + o.astype(base_kernel.dtype))
+    y = x @ w_eff
+    if bias is not None:
+        y = y + bias
+    return y
+
+
 _WO_TO_PROJ = {"wo_q": "to_q", "wo_k": "to_k", "wo_v": "to_v"}
 
 

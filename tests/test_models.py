@@ -176,3 +176,31 @@ def test_e4t_encoder_torch_roundtrip():
                                   sorted(lb, key=lambda x: str(x[0]))):
         assert str(pa) == str(pb)
         np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+
+
+def test_offset_linear_apply_gradient_flow():
+    """Single-layer fold demo (reference weightoffsets.py Model oracle):
+    one AdamW step through W*(1+wo) must move the offset params, with the
+    base weight gradient equal to grad_Weff * W_base per the product rule."""
+    import optax
+
+    rng = jax.random.PRNGKey(0)
+    p = wo.init_weight_offset(rng, 32, 16)
+    base = jax.random.normal(jax.random.PRNGKey(1), (32, 16)) * 0.1
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 32))
+    y = jax.random.normal(jax.random.PRNGKey(3), (2, 16))
+
+    def loss(p):
+        out = wo.offset_linear_apply(p, base, x)
+        return jnp.mean((out - y) ** 2)
+
+    tx = optax.adamw(1e-2)
+    opt = tx.init(p)
+    v_before = float(p["v"][0])
+    l0 = float(loss(p))
+    for _ in range(5):
+        g = jax.grad(loss)(p)
+        up, opt = tx.update(g, opt, p)
+        p = optax.apply_updates(p, up)
+    assert float(p["v"][0]) != v_before  # v received gradient (ref oracle)
+    assert float(loss(p)) < l0
