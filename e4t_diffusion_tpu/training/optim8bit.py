@@ -108,6 +108,7 @@ def scale_by_adam_8bit(b1: float = 0.9, b2: float = 0.999,
 
         def adam_core(g2d, mu_q, nu_q):
             """(m, block) slabs -> (step_slab, mu_q', nu_q')."""
+            g2d = g2d.astype(jnp.float32)  # per-slab upcast (bf16 grads)
             mu = _dq_blocks(mu_q, True)
             nu = _dq_blocks(nu_q, False)
             mu = b1 * mu + (1 - b1) * g2d
@@ -117,7 +118,7 @@ def scale_by_adam_8bit(b1: float = 0.9, b2: float = 0.999,
 
         def upd(g, mu_q, nu_q):
             shape, n = g.shape, g.size
-            flat = g.reshape(-1).astype(jnp.float32)
+            flat = g.reshape(-1)
             pad = _pad_len(n, block) - n
             g2d = jnp.pad(flat, (0, pad)).reshape(-1, block)
             nb = g2d.shape[0]

@@ -45,6 +45,7 @@ class E4TTrainConfig:
     train_clip_vision: bool = False   # --unfreeze_clip_vision
     max_grad_norm: Optional[float] = None  # set (1.0) in phase 2
     remat_unet: bool = True
+    grads_bf16: bool = False  # halve gradient HBM (16GB-chip tuning aid)
 
 
 def split_trainable(params: Dict, cfg: E4TTrainConfig):
@@ -203,6 +204,10 @@ def make_train_step(modules: E4TModules, ddpm: DDPMScheduler,
         (_, metrics), grads = jax.value_and_grad(
             lambda t: e4t_loss_fn(modules, ddpm, cfg, t, frozen, batch, rng),
             has_aux=True)(state.trainable)
+        if cfg.grads_bf16:
+            # halves peak gradient HBM; Adam math still runs in f32
+            grads = jax.tree_util.tree_map(
+                lambda g: g.astype(jnp.bfloat16), grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
         trainable = optax.apply_updates(state.trainable, updates)
         new_state = TrainState(step=state.step + 1, trainable=trainable,

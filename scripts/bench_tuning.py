@@ -40,6 +40,7 @@ def main():
     res = int(os.environ.get("E4T_TUNE_RES", "512"))
     use_8bit = os.environ.get("E4T_TUNE_8BIT", "1") == "1"
     train_text = os.environ.get("E4T_TUNE_TEXT", "0") == "1"
+    grads_bf16 = os.environ.get("E4T_TUNE_BF16_GRADS", "0") == "1"
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
     from e4t_diffusion_tpu.diffusion.pipeline import E4TModules
@@ -70,7 +71,8 @@ def main():
     }
 
     cfg = E4TTrainConfig(train_unet=True, train_text_encoder=train_text,
-                         reg_lambda=1e-4, max_grad_norm=1.0)
+                         reg_lambda=1e-4, max_grad_norm=1.0,
+                         grads_bf16=grads_bf16)
     tx = make_optimizer(1.6e-5, cfg, use_8bit=use_8bit)
     state, frozen = create_train_state(params, cfg, tx)
     # frozen models cast to compute dtype (reference casts frozen to
@@ -80,7 +82,8 @@ def main():
 
     n_train = sum(int(x.size) for x in
                   jax.tree_util.tree_leaves(state.trainable))
-    print(f"trainable params: {n_train/1e6:.1f}M, 8bit={use_8bit}")
+    print(f"trainable params: {n_train/1e6:.1f}M, 8bit={use_8bit}, "
+          f"bf16_grads={grads_bf16}, batch={batch}")
 
     step_fn = jax.jit(make_train_step(modules, DDPMScheduler(), cfg, tx),
                       donate_argnums=(0,))

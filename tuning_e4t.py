@@ -74,6 +74,9 @@ def parse_args():
                         action="store_true",
                         help="parity no-op; flash attention is always used")
     parser.add_argument("--train_text_encoder", action="store_true")
+    parser.add_argument("--grads_bf16", action="store_true",
+                        help="store gradients in bf16 (fits batch-8 512px "
+                             "full-UNet tuning on one 16GB v5e chip)")
     # general
     parser.add_argument("--report_to", type=str, default=None,
                         choices=["tensorboard", "wandb"])
@@ -151,6 +154,7 @@ def main():
         train_text_encoder=args.train_text_encoder,
         train_clip_vision=args.unfreeze_clip_vision,
         max_grad_norm=args.max_grad_norm,
+        grads_bf16=args.grads_bf16,
     )
     schedule = make_lr_schedule(args.lr_scheduler, learning_rate,
                                 args.lr_warmup_steps * args.gradient_accumulation_steps,
