@@ -75,8 +75,10 @@ def parse_args():
                         help="parity no-op; flash attention is always used")
     parser.add_argument("--train_text_encoder", action="store_true")
     parser.add_argument("--grads_bf16", action="store_true",
-                        help="store gradients in bf16 (fits batch-8 512px "
-                             "full-UNet tuning on one 16GB v5e chip)")
+                        help="cast gradients to bf16 before the optimizer "
+                             "(reduces optimizer-input traffic; note the "
+                             "f32 grads still materialize, so peak HBM is "
+                             "unchanged — use batch 4 on 16GB chips)")
     # general
     parser.add_argument("--report_to", type=str, default=None,
                         choices=["tensorboard", "wandb"])
