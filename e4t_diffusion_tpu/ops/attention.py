@@ -167,6 +167,8 @@ def _flash_fwd(q, k, v, scale, block_q, block_k):
             bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
             transcendentals=bh * sq * sk,
         ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=_use_interpret(),
     )(q, k, v)
     return out, lse[:, :, 0]
@@ -294,6 +296,8 @@ def _flash_bwd(res, g, scale, block_q, block_k):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=_use_interpret(),
     )(q, k, v, g, lse_b, delta_b)
 
@@ -331,6 +335,8 @@ def _flash_bwd(res, g, scale, block_q, block_k):
             pltpu.VMEM((block_k, d), jnp.float32),
             pltpu.VMEM((block_k, d), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=_use_interpret(),
     )(q, k, v, g, lse_b, delta_b)
     if sk_pad != sk:
@@ -398,6 +404,17 @@ def flash_attention(
     return out
 
 
+# Above this many bytes for the materialized (B,H,Sq,Sk) f32 score matrix,
+# dispatch to the flash kernel; below it XLA's fused einsum attention is
+# faster on TPU (measured: full SD UNet fwd at batch 8 512px is 131 ms with
+# einsum vs 189 ms with the flash kernel — the flash grid's many small
+# sequential invocations are overhead-bound at inference sizes, while the
+# einsum path's score tensor traffic is cheap until it stops fitting HBM
+# comfortably). Training-sized batches cross the threshold and use flash.
+_FLASH_SCORE_BYTES = int(
+    __import__("os").environ.get("E4T_FLASH_THRESHOLD_BYTES", 6 * 1024 ** 3))
+
+
 def dot_product_attention(
     q: jax.Array,
     k: jax.Array,
@@ -407,16 +424,19 @@ def dot_product_attention(
     causal: bool = False,
     use_flash: Optional[bool] = None,
 ) -> jax.Array:
-    """Dispatcher: Pallas flash attention on TPU, einsum elsewhere.
+    """Dispatcher: einsum attention for small/medium score matrices,
+    Pallas flash attention for large ones (memory-bound regime).
 
     q/k/v: (batch, heads, seq, head_dim).
     """
     if use_flash is None:
+        score_bytes = q.shape[0] * q.shape[1] * q.shape[2] * k.shape[2] * 4
         use_flash = (
             jax.default_backend() == "tpu"
             and bias is None
             and not causal
             and q.shape[2] >= 128
+            and score_bytes > _FLASH_SCORE_BYTES
         )
     if use_flash and bias is None and not causal:
         return flash_attention(q, k, v, scale=scale)
