@@ -75,3 +75,23 @@ def test_dispatcher_cpu_falls_back():
     q = jnp.asarray(_rand((1, 1, 16, 8)))
     out = dot_product_attention(q, q, q)
     assert out.shape == q.shape
+
+
+def test_dispatcher_threshold_routing(monkeypatch):
+    """Below the score-bytes threshold -> einsum; above -> flash."""
+    import e4t_diffusion_tpu.ops.attention as att
+
+    calls = {}
+    monkeypatch.setattr(att, "flash_attention",
+                        lambda *a, **k: calls.setdefault("flash", True) or a[0])
+    monkeypatch.setattr(att, "einsum_attention",
+                        lambda *a, **k: calls.setdefault("einsum", True) or a[0])
+    monkeypatch.setattr(att.jax, "default_backend", lambda: "tpu")
+    q = jnp.zeros((1, 1, 256, 64))
+    monkeypatch.setattr(att, "_FLASH_SCORE_BYTES", 10**18)
+    att.dot_product_attention(q, q, q)
+    assert calls == {"einsum": True}
+    calls.clear()
+    monkeypatch.setattr(att, "_FLASH_SCORE_BYTES", 0)
+    att.dot_product_attention(q, q, q)
+    assert calls == {"flash": True}
