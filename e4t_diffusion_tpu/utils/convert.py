@@ -520,5 +520,6 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
 def save_torch_state_dict(sd: Dict[str, np.ndarray], path: str) -> None:
     import torch
 
-    torch.save({k: torch.from_numpy(np.ascontiguousarray(np.asarray(v)))
+    # np.array(copy=True) so torch never sees jax's read-only buffers
+    torch.save({k: torch.from_numpy(np.array(v, copy=True))
                 for k, v in sd.items()}, path)
