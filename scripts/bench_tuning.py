@@ -35,7 +35,7 @@ def main():
     from e4t_diffusion_tpu.utils.runtime import setup_compilation_cache
 
     setup_compilation_cache()
-    batch = int(os.environ.get("E4T_TUNE_BATCH", "8"))
+    batch = int(os.environ.get("E4T_TUNE_BATCH", "4"))
     steps = int(os.environ.get("E4T_TUNE_STEPS", "30"))
     res = int(os.environ.get("E4T_TUNE_RES", "512"))
     use_8bit = os.environ.get("E4T_TUNE_8BIT", "1") == "1"

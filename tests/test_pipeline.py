@@ -101,3 +101,30 @@ def test_preprocess_image_range():
     out = preprocess_image(img)
     assert out.shape == (1, 3, 8, 8)
     assert out.max() == 1.0 and out.min() == -1.0
+
+
+@pytest.mark.parametrize("scheduler_type",
+                         ["ddim", "plms", "lms", "euler", "euler_ancestral",
+                          "dpm_solver++"])
+def test_pipeline_all_schedulers(tiny_setup, scheduler_type):
+    """Every SCHEDULER_MAPPING entry drives the full pipeline
+    (/root/reference/inference.py:65-72 parity)."""
+    pipe, image = tiny_setup
+    out = pipe("a photo of *s", image, num_inference_steps=2, seed=3,
+               scheduler_type=scheduler_type)
+    assert out.shape[1:] == (3, 16, 16)
+    assert np.isfinite(out).all()
+
+
+def test_pipeline_eta_changes_ddim(tiny_setup):
+    pipe, image = tiny_setup
+    a = pipe("a photo of *s", image, num_inference_steps=2, seed=5, eta=0.0)
+    b = pipe("a photo of *s", image, num_inference_steps=2, seed=5, eta=1.0)
+    assert not np.allclose(a, b)
+
+
+def test_pipeline_rejects_negative_prompt(tiny_setup):
+    pipe, image = tiny_setup
+    with pytest.raises(AssertionError, match="negative_prompt"):
+        pipe("a photo of *s", image, negative_prompt="ugly",
+             num_inference_steps=1)
