@@ -526,6 +526,27 @@ def flash_attention(
 # 1 GiB of f32 scores ~= the 4096-site at batch 2 — flash above, einsum below.
 _FLASH_SCORE_BYTES = int(
     __import__("os").environ.get("E4T_FLASH_THRESHOLD_BYTES", 1024 ** 3))
+_THRESHOLD_OVERRIDE: list = []
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def flash_threshold(score_bytes: Optional[int]):
+    """Trace-time override of the einsum/flash dispatch threshold.
+
+    Training steps trace under ``flash_threshold(0)`` (all-flash): the
+    einsum path's score tensors in the backward pass inflate peak HBM,
+    while the kernel keeps it flat (training/train_step.py)."""
+    if score_bytes is None:
+        yield
+        return
+    _THRESHOLD_OVERRIDE.append(score_bytes)
+    try:
+        yield
+    finally:
+        _THRESHOLD_OVERRIDE.pop()
 
 
 def dot_product_attention(
@@ -544,12 +565,14 @@ def dot_product_attention(
     """
     if use_flash is None:
         score_bytes = q.shape[0] * q.shape[1] * q.shape[2] * k.shape[2] * 4
+        threshold = (_THRESHOLD_OVERRIDE[-1] if _THRESHOLD_OVERRIDE
+                     else _FLASH_SCORE_BYTES)
         use_flash = (
             jax.default_backend() == "tpu"
             and bias is None
             and not causal
             and q.shape[2] >= 128
-            and score_bytes > _FLASH_SCORE_BYTES
+            and score_bytes > threshold
         )
     if use_flash and bias is None and not causal:
         return flash_attention(q, k, v, scale=scale)

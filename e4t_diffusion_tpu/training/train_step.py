@@ -200,10 +200,16 @@ def make_train_step(modules: E4TModules, ddpm: DDPMScheduler,
     gradients are reduced by XLA SPMD automatically."""
 
     def step(state: TrainState, frozen: Dict, batch: Dict, rng: jax.Array):
+        from e4t_diffusion_tpu.ops.attention import flash_threshold
+
         rng = jax.random.fold_in(rng, state.step)
-        (_, metrics), grads = jax.value_and_grad(
-            lambda t: e4t_loss_fn(modules, ddpm, cfg, t, frozen, batch, rng),
-            has_aux=True)(state.trainable)
+        # trace the loss with all-flash attention: the einsum path's score
+        # tensors inflate peak HBM in the backward pass
+        with flash_threshold(0):
+            (_, metrics), grads = jax.value_and_grad(
+                lambda t: e4t_loss_fn(modules, ddpm, cfg, t, frozen, batch,
+                                      rng),
+                has_aux=True)(state.trainable)
         if cfg.grads_bf16:
             # halves peak gradient HBM; Adam math still runs in f32
             grads = jax.tree_util.tree_map(
