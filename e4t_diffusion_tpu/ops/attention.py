@@ -1,11 +1,19 @@
-"""Attention ops: Pallas TPU flash attention + jnp einsum fallback.
+"""Attention ops: Pallas TPU flash attention + XLA einsum, auto-dispatched.
 
 TPU-native replacement for the reference's attention-kernel zoo
 (xformers memory_efficient_attention, torch SDPA, sliced attention:
 /root/reference/e4t/models/cross_attention.py:285-322,447-538,595-651).
-One kernel covers every sequence regime in this stack (UNet spatial
+Two implementations cover every regime in this stack (UNet spatial
 self-attention <= 64^2 = 4096 tokens at 512px, cross-attention kv = 77
-text tokens, ViT 257 tokens), so no attention slicing is needed.
+text tokens, ViT 257 tokens, causal 77-token CLIP text), so no attention
+slicing is needed:
+
+- einsum_attention: XLA-fused softmax attention; fastest while the f32
+  score tensor traffic is cheap, and the only masked/causal path.
+- flash_attention: Pallas online-softmax kernel, fwd (kv-resident when k/v
+  fit VMEM, (bh,nq,nk) grid otherwise) + custom-VJP bwd. Used above the
+  score-size dispatch threshold and for all training traces
+  (flash_threshold(0)) where einsum's backward peaks don't fit.
 
 Interface: tensors are (batch, heads, seq, head_dim) ["BHSD"].
 """
