@@ -32,6 +32,14 @@ class CLIPTextConfig:
     intermediate_size: int = 3072
     max_position_embeddings: int = 77
     layer_norm_eps: float = 1e-5
+    hidden_act: str = "quick_gelu"  # SD v1 / openai CLIP; SD v2 uses "gelu"
+
+    @classmethod
+    def sd2(cls) -> "CLIPTextConfig":
+        """SD v2.x text encoder (OpenCLIP ViT-H text tower in HF layout,
+        truncated to the penultimate layer: num_hidden_layers=23)."""
+        return cls(hidden_size=1024, num_layers=23, num_heads=16,
+                   intermediate_size=4096, hidden_act="gelu")
 
     @classmethod
     def tiny(cls) -> "CLIPTextConfig":
@@ -84,7 +92,8 @@ class CLIPEncoderLayer(nn.Module):
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="layer_norm2")(x)
         h = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="mlp_fc1")(h)
-        h = quick_gelu(h)
+        h = (quick_gelu(h) if cfg.hidden_act == "quick_gelu"
+             else jax.nn.gelu(h, approximate=False))
         h = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="mlp_fc2")(h)
         return x + h
 

@@ -37,10 +37,18 @@ class CLIPVisionConfig:
     image_size: int = 224
     patch_size: int = 14
     layer_norm_eps: float = 1e-5
+    hidden_act: str = "quick_gelu"  # openai towers; laion ViT-H uses "gelu"
 
     @property
     def num_positions(self) -> int:
         return (self.image_size // self.patch_size) ** 2 + 1
+
+    @classmethod
+    def vit_h(cls) -> "CLIPVisionConfig":
+        """laion/CLIP-ViT-H-14 in HF layout (the Stable-unCLIP
+        image_encoder backbone)."""
+        return cls(hidden_size=1280, num_layers=32, num_heads=16,
+                   intermediate_size=5120, hidden_act="gelu")
 
     @classmethod
     def tiny(cls) -> "CLIPVisionConfig":
@@ -71,7 +79,7 @@ class CLIPVisionModel(nn.Module):
         layer_cfg = CLIPTextConfig(
             hidden_size=cfg.hidden_size, num_layers=cfg.num_layers,
             num_heads=cfg.num_heads, intermediate_size=cfg.intermediate_size,
-            layer_norm_eps=cfg.layer_norm_eps)
+            layer_norm_eps=cfg.layer_norm_eps, hidden_act=cfg.hidden_act)
         self.layers = [CLIPEncoderLayer(layer_cfg, dtype=self.dtype,
                                         causal=False, name=f"layers_{i}")
                        for i in range(cfg.num_layers)]

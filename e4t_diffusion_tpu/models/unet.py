@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -56,12 +56,48 @@ class UNetConfig:
     )
     block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
     layers_per_block: int = 2
-    attention_head_dim: int = 8  # = number of heads (diffusers v0.14 naming)
+    # Number of heads (diffusers v0.14 naming quirk): int = same for all
+    # blocks (SD v1), or a per-block tuple (SD v2: (5, 10, 20, 20)).
+    attention_head_dim: Union[int, Tuple[int, ...]] = 8
     cross_attention_dim: int = 768
     norm_num_groups: int = 32
     norm_eps: float = 1e-5
     flip_sin_to_cos: bool = True
     freq_shift: int = 0
+    # SD v2 family options
+    use_linear_projection: bool = False
+    # None | "projection" (Stable-unCLIP: a TimestepEmbedding-shaped MLP
+    # over projection_class_embeddings_input_dim-dim class_labels, added
+    # to the time embedding)
+    class_embed_type: Optional[str] = None
+    projection_class_embeddings_input_dim: Optional[int] = None
+
+    def heads_for_block(self, block_index: int) -> int:
+        if isinstance(self.attention_head_dim, int):
+            return self.attention_head_dim
+        return self.attention_head_dim[block_index]
+
+    @classmethod
+    def sd2(cls, sample_size: int = 96) -> "UNetConfig":
+        """Stable Diffusion v2.x UNet (768px family): 64-dim heads, linear
+        transformer projections, OpenCLIP-H 1024-dim text context."""
+        return cls(
+            sample_size=sample_size,
+            attention_head_dim=(5, 10, 20, 20),
+            cross_attention_dim=1024,
+            use_linear_projection=True,
+        )
+
+    @classmethod
+    def sd2_unclip(cls) -> "UNetConfig":
+        """stabilityai/stable-diffusion-2-1-unclip UNet: SD v2 plus a
+        projection class embedding over the noise-augmented CLIP image
+        embedding concat its noise-level embedding (1024 + 1024)."""
+        return dataclasses.replace(
+            cls.sd2(sample_size=96),
+            class_embed_type="projection",
+            projection_class_embeddings_input_dim=2048,
+        )
 
     @classmethod
     def tiny(cls, cross_attention_dim: int = 32) -> "UNetConfig":
@@ -204,11 +240,18 @@ class BasicTransformerBlock(nn.Module):
 
 
 class Transformer2DModel(nn.Module):
-    """Spatial transformer: GN -> 1x1 conv in -> blocks -> 1x1 conv out + res."""
+    """Spatial transformer: GN -> proj in -> blocks -> proj out + residual.
+
+    ``use_linear_projection`` (SD v2, diffusers transformer_2d
+    use_linear_projection) swaps the 1x1 convs for Dense layers applied
+    after flattening — mathematically identical on TPU (a 1x1 conv IS a
+    matmul over NHWC), kept distinct only for checkpoint-layout parity.
+    """
     heads: int
     dim_head: int
     depth: int = 1
     groups: int = 32
+    use_linear_projection: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -218,14 +261,22 @@ class Transformer2DModel(nn.Module):
         residual = x
         x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
                          dtype=self.dtype, name="norm")(x)
-        x = nn.Conv(inner, (1, 1), dtype=self.dtype, name="proj_in")(x)
-        x = x.reshape(b, h * w, inner)
+        if self.use_linear_projection:
+            x = x.reshape(b, h * w, c)
+            x = nn.Dense(inner, dtype=self.dtype, name="proj_in")(x)
+        else:
+            x = nn.Conv(inner, (1, 1), dtype=self.dtype, name="proj_in")(x)
+            x = x.reshape(b, h * w, inner)
         for i in range(self.depth):
             x = BasicTransformerBlock(inner, self.heads, self.dim_head,
                                       dtype=self.dtype,
                                       name=f"transformer_blocks_{i}")(x, context)
-        x = x.reshape(b, h, w, inner)
-        x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(x)
+        if self.use_linear_projection:
+            x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
+            x = x.reshape(b, h, w, c)
+        else:
+            x = x.reshape(b, h, w, inner)
+            x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(x)
         return x + residual
 
 
@@ -259,6 +310,7 @@ class CrossAttnDownBlock2D(nn.Module):
     add_downsample: bool
     groups: int
     eps: float
+    use_linear_projection: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -270,7 +322,9 @@ class CrossAttnDownBlock2D(nn.Module):
                               self.groups, self.eps, dtype=self.dtype,
                               name=f"resnets_{i}")(x, temb)
             x = Transformer2DModel(self.heads, self.out_channels // self.heads,
-                                   groups=self.groups, dtype=self.dtype,
+                                   groups=self.groups,
+                                   use_linear_projection=self.use_linear_projection,
+                                   dtype=self.dtype,
                                    name=f"attentions_{i}")(x, context)
             res.append(x)
         if self.add_downsample:
@@ -310,6 +364,7 @@ class UNetMidBlock2DCrossAttn(nn.Module):
     heads: int
     groups: int
     eps: float
+    use_linear_projection: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -317,7 +372,9 @@ class UNetMidBlock2DCrossAttn(nn.Module):
         x = ResnetBlock2D(self.channels, False, self.groups, self.eps,
                           dtype=self.dtype, name="resnets_0")(x, temb)
         x = Transformer2DModel(self.heads, self.channels // self.heads,
-                               groups=self.groups, dtype=self.dtype,
+                               groups=self.groups,
+                               use_linear_projection=self.use_linear_projection,
+                               dtype=self.dtype,
                                name="attentions_0")(x, context)
         x = ResnetBlock2D(self.channels, False, self.groups, self.eps,
                           dtype=self.dtype, name="resnets_1")(x, temb)
@@ -333,6 +390,7 @@ class CrossAttnUpBlock2D(nn.Module):
     add_upsample: bool
     groups: int
     eps: float
+    use_linear_projection: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -344,7 +402,9 @@ class CrossAttnUpBlock2D(nn.Module):
             x = ResnetBlock2D(self.out_channels, True, self.groups, self.eps,
                               dtype=self.dtype, name=f"resnets_{i}")(x, temb)
             x = Transformer2DModel(self.heads, self.out_channels // self.heads,
-                                   groups=self.groups, dtype=self.dtype,
+                                   groups=self.groups,
+                                   use_linear_projection=self.use_linear_projection,
+                                   dtype=self.dtype,
                                    name=f"attentions_{i}")(x, context)
         if self.add_upsample:
             x = Upsample2D(self.out_channels, dtype=self.dtype,
@@ -390,7 +450,8 @@ class UNet2DConditionModel(nn.Module):
 
     @nn.compact
     def __call__(self, sample, timesteps, encoder_hidden_states,
-                 return_encoder_outputs: bool = False):
+                 return_encoder_outputs: bool = False,
+                 class_labels: Optional[jax.Array] = None):
         cfg = self.config
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
@@ -409,10 +470,27 @@ class UNet2DConditionModel(nn.Module):
                                  dtype=self.dtype,
                                  name="time_embedding")(t_emb)
 
+        if cfg.class_embed_type == "projection":
+            # Stable-unCLIP conditioning: class_labels is a continuous
+            # (B, projection_class_embeddings_input_dim) vector (noised CLIP
+            # image embedding ++ its noise-level embedding), lifted by a
+            # TimestepEmbedding-shaped MLP and added to the time embedding.
+            if class_labels is None:
+                raise ValueError(
+                    "class_labels required when class_embed_type='projection'")
+            cemb = TimestepEmbedding(cfg.block_out_channels[0] * 4,
+                                     dtype=self.dtype,
+                                     name="class_embedding")(
+                class_labels.astype(self.dtype))
+            temb = temb + cemb
+        elif cfg.class_embed_type is not None:
+            raise ValueError(f"Unsupported class_embed_type "
+                             f"{cfg.class_embed_type}")
+
         x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1,
                     dtype=self.dtype, name="conv_in")(x)
 
-        heads = cfg.attention_head_dim
+        ulp = cfg.use_linear_projection
         down_res = [x]
         out_ch = cfg.block_out_channels[0]
         for bi, btype in enumerate(cfg.down_block_types):
@@ -420,9 +498,11 @@ class UNet2DConditionModel(nn.Module):
             is_final = bi == len(cfg.down_block_types) - 1
             if btype == "CrossAttnDownBlock2D":
                 x, res = CrossAttnDownBlock2D(
-                    out_ch, in_ch, cfg.layers_per_block, heads,
+                    out_ch, in_ch, cfg.layers_per_block,
+                    cfg.heads_for_block(bi),
                     add_downsample=not is_final, groups=cfg.norm_num_groups,
-                    eps=cfg.norm_eps, dtype=self.dtype,
+                    eps=cfg.norm_eps, use_linear_projection=ulp,
+                    dtype=self.dtype,
                     name=f"down_blocks_{bi}")(x, temb, context)
             elif btype == "DownBlock2D":
                 x, res = DownBlock2D(
@@ -435,8 +515,10 @@ class UNet2DConditionModel(nn.Module):
             down_res.extend(res)
 
         x = UNetMidBlock2DCrossAttn(
-            cfg.block_out_channels[-1], heads, cfg.norm_num_groups,
-            cfg.norm_eps, dtype=self.dtype, name="mid_block")(x, temb, context)
+            cfg.block_out_channels[-1],
+            cfg.heads_for_block(len(cfg.block_out_channels) - 1),
+            cfg.norm_num_groups, cfg.norm_eps, use_linear_projection=ulp,
+            dtype=self.dtype, name="mid_block")(x, temb, context)
 
         if return_encoder_outputs is True:
             # E4T tap: all down-block residuals + mid output (NHWC), to be
@@ -461,9 +543,11 @@ class UNet2DConditionModel(nn.Module):
             down_res = down_res[:-n_layers]
             if btype == "CrossAttnUpBlock2D":
                 x = CrossAttnUpBlock2D(
-                    out_ch, prev_ch, (), n_layers, heads,
+                    out_ch, prev_ch, (), n_layers,
+                    cfg.heads_for_block(len(cfg.block_out_channels) - 1 - bi),
                     add_upsample=not is_final, groups=cfg.norm_num_groups,
-                    eps=cfg.norm_eps, dtype=self.dtype,
+                    eps=cfg.norm_eps, use_linear_projection=ulp,
+                    dtype=self.dtype,
                     name=f"up_blocks_{bi}")(x, res, temb, context)
             elif btype == "UpBlock2D":
                 x = UpBlock2D(

@@ -190,6 +190,9 @@ def _flash_fwd(q, k, v, scale, block_q, block_k):
 # kv_pad * d_pad * bf16 * 2 fits VMEM (seq <= 8192 at d=128 — everything in
 # this stack).
 _KVRES_MAX_ELEMS = 8192 * 128
+# q-side residency bound for the backward (q/do in compute dtype plus two
+# f32 128-lane lse/delta tensors live in VMEM simultaneously)
+_QRES_MAX_ELEMS = 4096 * 128
 
 
 def _flash_fwd_kvres_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
@@ -356,6 +359,161 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
+# Residency-based backward (mirrors the forward's kv-resident design):
+# dq with k/v resident in VMEM over a (bh, nq) grid, dk/dv with q/do/lse
+# resident over a (bh, nk) grid. The blocked (bh, nq, nk)-grid fallback
+# kernels below pay a kernel invocation + scratch round-trip per inner
+# block, which is overhead-bound at this stack's sizes; residency keeps
+# the MXU busy. Applicable while the resident tensors fit VMEM.
+
+def _flash_bwd_dq_kvres_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref,
+                               delta_ref, dq_ref,
+                               *, scale: float, kv_len: int, block_k: int):
+    q = q_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0][:, :1]
+    delta = delta_ref[0][:, :1]
+    sk_pad = k_ref.shape[1]
+    nk = sk_pad // block_k
+    bq, d = q.shape
+
+    def body(j, acc):
+        off = j * block_k
+        k = k_ref[0, pl.ds(off, block_k), :]
+        v = v_ref[0, pl.ds(off, block_k), :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if kv_len % block_k != 0:
+            col = off + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < kv_len, s, _NEG_INF)
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * scale
+        return acc + jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    acc = jax.lax.fori_loop(
+        0, nk, body, jnp.zeros((bq, d), jnp.float32))
+    dq_ref[0] = acc.astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_qres_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref,
+                               delta_ref, dk_ref, dv_ref,
+                               *, scale: float, kv_len: int,
+                               block_q: int, block_k: int):
+    j = pl.program_id(1)
+    k = k_ref[0]  # (block_k, d)
+    v = v_ref[0]
+    sq = q_ref.shape[1]
+    nq = sq // block_q
+    d = k.shape[1]
+
+    def body(i, carry):
+        dk, dv = carry
+        off = i * block_q
+        q = q_ref[0, pl.ds(off, block_q), :]
+        do = do_ref[0, pl.ds(off, block_q), :]
+        lse = lse_ref[0, pl.ds(off, block_q), :][:, :1]
+        delta = delta_ref[0, pl.ds(off, block_q), :][:, :1]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if kv_len % block_k != 0:
+            col = (j * block_k
+                   + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1))
+            s = jnp.where(col < kv_len, s, _NEG_INF)
+        p = jnp.exp(s - lse)  # (block_q, block_k)
+        dv = dv + jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * scale
+        dk = dk + jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return dk, dv
+
+    dk0 = jnp.zeros((k.shape[0], d), jnp.float32)
+    dv0 = jnp.zeros((v.shape[0], d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, nq, body, (dk0, dv0))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_bwd_resident(q, k, v, g, lse_b, delta_b, scale, block_q, block_k,
+                        sk):
+    """dq kv-resident + dk/dv q-resident; q/k/v already padded."""
+    bh, sq, d = q.shape
+    sk_pad = k.shape[1]
+    nq, nk = sq // block_q, sk_pad // block_k
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kvres_kernel, scale=scale,
+                          kv_len=sk, block_k=block_k),
+        grid=(bh, nq),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_pad, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_pad, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, _LANES), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, _LANES), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=_use_interpret(),
+    )(q, k, v, g, lse_b, delta_b)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_qres_kernel, scale=scale,
+                          kv_len=sk, block_q=block_q, block_k=block_k),
+        grid=(bh, nk),
+        in_specs=[
+            pl.BlockSpec((1, sq, d), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sq, d), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sq, _LANES), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sq, _LANES), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda b, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, sk_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, sk_pad, d), v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=_use_interpret(),
+    )(q, k, v, g, lse_b, delta_b)
+    return dq, dk, dv
+
+
 def _flash_bwd(res, g, scale, block_q, block_k):
     q, k, v, out, lse = res
     bh, sq, d = q.shape
@@ -369,6 +527,17 @@ def _flash_bwd(res, g, scale, block_q, block_k):
     delta = jnp.sum(out.astype(jnp.float32) * g.astype(jnp.float32), axis=-1)
     lse_b = jnp.broadcast_to(lse[..., None], (bh, sq, _LANES))
     delta_b = jnp.broadcast_to(delta[..., None], (bh, sq, _LANES))
+
+    # Residency dispatch: k/v resident for dq and q/do/lse/delta resident
+    # for dk/dv while they fit VMEM (the q side carries two f32 128-lane
+    # tensors, so it gets a tighter bound).
+    if sk_pad * d <= _KVRES_MAX_ELEMS and sq * d <= _QRES_MAX_ELEMS:
+        dq, dk, dv = _flash_bwd_resident(q, k, v, g, lse_b, delta_b, scale,
+                                         block_q, block_k, sk)
+        if sk_pad != sk:
+            dk = dk[:, :sk]
+            dv = dv[:, :sk]
+        return dq, dk, dv
 
     common_in_specs = [
         pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),

@@ -73,12 +73,19 @@ def unet_config_from_diffusers(cfg: dict) -> UNetConfig:
         up_block_types=tuple(cfg["up_block_types"]),
         block_out_channels=tuple(cfg["block_out_channels"]),
         layers_per_block=cfg.get("layers_per_block", 2),
-        attention_head_dim=cfg.get("attention_head_dim", 8),
+        attention_head_dim=(tuple(cfg["attention_head_dim"])
+                            if isinstance(cfg.get("attention_head_dim", 8),
+                                          (list, tuple))
+                            else cfg.get("attention_head_dim", 8)),
         cross_attention_dim=cfg.get("cross_attention_dim", 768),
         norm_num_groups=cfg.get("norm_num_groups", 32),
         norm_eps=cfg.get("norm_eps", 1e-5),
         flip_sin_to_cos=cfg.get("flip_sin_to_cos", True),
         freq_shift=cfg.get("freq_shift", 0),
+        use_linear_projection=cfg.get("use_linear_projection", False),
+        class_embed_type=cfg.get("class_embed_type", None),
+        projection_class_embeddings_input_dim=cfg.get(
+            "projection_class_embeddings_input_dim", None),
     )
 
 
@@ -104,6 +111,7 @@ def text_config_from_hf(cfg: dict) -> CLIPTextConfig:
         intermediate_size=cfg.get("intermediate_size", 3072),
         max_position_embeddings=cfg.get("max_position_embeddings", 77),
         layer_norm_eps=cfg.get("layer_norm_eps", 1e-5),
+        hidden_act=cfg.get("hidden_act", "quick_gelu"),
     )
 
 
@@ -142,6 +150,64 @@ def load_sd_base(path: str) -> Dict[str, Any]:
         _load_weights(os.path.join(path, "text_encoder")), tcfg.num_layers)
     out["schedule_config"] = schedule_config_from_diffusers(
         _read_json(os.path.join(path, "scheduler", "scheduler_config.json")))
+    out["tokenizer_dir"] = os.path.join(path, "tokenizer")
+    return out
+
+
+def load_sd_unclip(path: str) -> Dict[str, Any]:
+    """Load a local diffusers-format Stable-unCLIP checkpoint directory
+    (stabilityai/stable-diffusion-2-1-unclip layout: unet/ vae/
+    text_encoder/ tokenizer/ scheduler/ image_encoder/ image_normalizer/
+    image_noising_scheduler/).
+
+    Returns configs + converted flax params (strict key accounting) for
+    diffusion/unclip_pipeline.StableUnCLIPImg2ImgPipeline.
+    """
+    from e4t_diffusion_tpu.models.e4t_encoder_legacy import CLIPVisionConfig
+    from e4t_diffusion_tpu.models.unclip import CLIPVisionProjectionConfig
+
+    out: Dict[str, Any] = {}
+    ucfg = unet_config_from_diffusers(
+        _read_json(os.path.join(path, "unet", "config.json")))
+    out["unet_config"] = ucfg
+    out["unet"] = convert.unet_from_torch(
+        _load_weights(os.path.join(path, "unet")), ucfg)
+    vcfg = vae_config_from_diffusers(
+        _read_json(os.path.join(path, "vae", "config.json")))
+    out["vae_config"] = vcfg
+    out["vae"] = convert.vae_from_torch(
+        _load_weights(os.path.join(path, "vae")), vcfg)
+    tcfg = text_config_from_hf(
+        _read_json(os.path.join(path, "text_encoder", "config.json")))
+    out["text_config"] = tcfg
+    out["text"] = convert.clip_text_from_torch(
+        _load_weights(os.path.join(path, "text_encoder")), tcfg.num_layers)
+
+    icfg_json = _read_json(os.path.join(path, "image_encoder", "config.json"))
+    vision = CLIPVisionConfig(
+        hidden_size=icfg_json.get("hidden_size", 1280),
+        num_layers=icfg_json.get("num_hidden_layers", 32),
+        num_heads=icfg_json.get("num_attention_heads", 16),
+        intermediate_size=icfg_json.get("intermediate_size", 5120),
+        image_size=icfg_json.get("image_size", 224),
+        patch_size=icfg_json.get("patch_size", 14),
+        hidden_act=icfg_json.get("hidden_act", "gelu"),
+    )
+    icfg = CLIPVisionProjectionConfig(
+        vision=vision, projection_dim=icfg_json.get("projection_dim", 1024))
+    out["image_encoder_config"] = icfg
+    out["image_encoder"] = convert.clip_vision_with_projection_from_torch(
+        _load_weights(os.path.join(path, "image_encoder")),
+        vision.num_layers)
+    out["image_normalizer"] = convert.image_normalizer_from_torch(
+        _load_weights(os.path.join(path, "image_normalizer")))
+    out["schedule_config"] = schedule_config_from_diffusers(
+        _read_json(os.path.join(path, "scheduler", "scheduler_config.json")))
+    noise_aug_path = os.path.join(path, "image_noising_scheduler",
+                                  "scheduler_config.json")
+    if os.path.exists(noise_aug_path):
+        out["noise_aug_schedule"] = schedule_config_from_diffusers(
+            _read_json(noise_aug_path))
     out["tokenizer_dir"] = os.path.join(path, "tokenizer")
     return out
 

@@ -153,10 +153,15 @@ def _unet_tx_block(c: _Converter, t: str, f: str) -> None:
     c.linear(t + "ff.net.2", f + "ff.net_2")
 
 
-def _unet_transformer2d(c: _Converter, t: str, f: str, depth: int = 1) -> None:
+def _unet_transformer2d(c: _Converter, t: str, f: str, depth: int = 1,
+                        linear: bool = False) -> None:
     c.norm(t + "norm", f + "norm")
-    c.conv(t + "proj_in", f + "proj_in")
-    c.conv(t + "proj_out", f + "proj_out")
+    if linear:  # SD v2 use_linear_projection: Dense instead of 1x1 conv
+        c.linear(t + "proj_in", f + "proj_in")
+        c.linear(t + "proj_out", f + "proj_out")
+    else:
+        c.conv(t + "proj_in", f + "proj_in")
+        c.conv(t + "proj_out", f + "proj_out")
     for d in range(depth):
         _unet_tx_block(c, f"{t}transformer_blocks.{d}.", f"{f}transformer_blocks_{d}.")
 
@@ -185,27 +190,34 @@ def unet_from_torch(sd: Dict[str, np.ndarray], config) -> Dict:
     c.norm("conv_norm_out", "conv_norm_out")
     c.linear("time_embedding.linear_1", "time_embedding.linear_1")
     c.linear("time_embedding.linear_2", "time_embedding.linear_2")
+    if getattr(config, "class_embed_type", None) == "projection":
+        c.linear("class_embedding.linear_1", "class_embedding.linear_1")
+        c.linear("class_embedding.linear_2", "class_embedding.linear_2")
 
+    linear = bool(getattr(config, "use_linear_projection", False))
     layers = config.layers_per_block
     for bi, btype in enumerate(config.down_block_types):
         t, f = f"down_blocks.{bi}.", f"down_blocks_{bi}."
         for li in range(layers):
             _unet_resnet(c, f"{t}resnets.{li}.", f"{f}resnets_{li}.")
             if "CrossAttn" in btype:
-                _unet_transformer2d(c, f"{t}attentions.{li}.", f"{f}attentions_{li}.")
+                _unet_transformer2d(c, f"{t}attentions.{li}.",
+                                    f"{f}attentions_{li}.", linear=linear)
         if c.has(t + "downsamplers.0.conv.weight"):
             c.conv(t + "downsamplers.0.conv", f + "downsamplers_0.conv")
 
     _unet_resnet(c, "mid_block.resnets.0.", "mid_block.resnets_0.")
     _unet_resnet(c, "mid_block.resnets.1.", "mid_block.resnets_1.")
-    _unet_transformer2d(c, "mid_block.attentions.0.", "mid_block.attentions_0.")
+    _unet_transformer2d(c, "mid_block.attentions.0.", "mid_block.attentions_0.",
+                        linear=linear)
 
     for bi, btype in enumerate(config.up_block_types):
         t, f = f"up_blocks.{bi}.", f"up_blocks_{bi}."
         for li in range(layers + 1):
             _unet_resnet(c, f"{t}resnets.{li}.", f"{f}resnets_{li}.")
             if "CrossAttn" in btype:
-                _unet_transformer2d(c, f"{t}attentions.{li}.", f"{f}attentions_{li}.")
+                _unet_transformer2d(c, f"{t}attentions.{li}.",
+                                    f"{f}attentions_{li}.", linear=linear)
         if c.has(t + "upsamplers.0.conv.weight"):
             c.conv(t + "upsamplers.0.conv", f + "upsamplers_0.conv")
     return c.finish()
@@ -503,6 +515,24 @@ def e4t_encoder_legacy_from_torch(sd: Dict[str, np.ndarray], config) -> Dict:
     c.linear("final_linear", "final_linear")
     tree.update(c.finish(ignore_unused=(r"^(mean|std)$",)))
     return tree
+
+
+def clip_vision_with_projection_from_torch(sd: Dict[str, np.ndarray],
+                                           num_layers: int) -> Dict:
+    """HF CLIPVisionModelWithProjection (the Stable-unCLIP image_encoder)
+    -> flax params for models/unclip.CLIPVisionModelWithProjection."""
+    tree: Dict = {"vision_model": clip_vision_hf_from_torch(
+        sd, num_layers, prefix="vision_model.")}
+    tree["visual_projection"] = {
+        "kernel": _t(np.asarray(sd["visual_projection.weight"]))}
+    return tree
+
+
+def image_normalizer_from_torch(sd: Dict[str, np.ndarray]) -> Dict:
+    """diffusers StableUnCLIPImageNormalizer state dict ({mean, std} of
+    shape (1, embed_dim)) -> flax params."""
+    return {"mean": np.asarray(sd["mean"]).reshape(-1),
+            "std": np.asarray(sd["std"]).reshape(-1)}
 
 
 # ---------------------------------------------------------------------------

@@ -71,6 +71,51 @@ def test_flash_gradients_match_einsum():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
 
 
+def test_flash_gradients_blocked_fallback(monkeypatch):
+    """Force the (bh, nq, nk)-grid blocked backward (the non-resident
+    path used when tensors exceed the VMEM residency bounds)."""
+    from e4t_diffusion_tpu.ops import attention as A
+
+    monkeypatch.setattr(A, "_KVRES_MAX_ELEMS", 0)
+    monkeypatch.setattr(A, "_QRES_MAX_ELEMS", 0)
+    q, k, v = (jnp.asarray(_rand((1, 2, 256, 64), s)) for s in (9, 10, 11))
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, block_q=128, block_k=128)
+        return jnp.sum(jnp.sin(o))
+
+    def loss_ref(q, k, v):
+        o = einsum_attention(q, k, v)
+        return jnp.sum(jnp.sin(o))
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_flash_gradients_resident_uneven_kv(monkeypatch):
+    """Resident backward with kv padding (kv_len % block_k != 0)."""
+    q, k, v = (jnp.asarray(_rand((1, 2, 128, 64), s)) for s in (12, 13, 14))
+    k = k[:, :, :77]
+    v = v[:, :, :77]
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, block_q=128, block_k=128)
+        return jnp.sum(jnp.sin(o))
+
+    def loss_ref(q, k, v):
+        o = einsum_attention(q, k, v)
+        return jnp.sum(jnp.sin(o))
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
 def test_dispatcher_cpu_falls_back():
     q = jnp.asarray(_rand((1, 1, 16, 8)))
     out = dot_product_attention(q, q, q)

@@ -101,16 +101,24 @@ class TxBlock(nn.Module):
 
 
 class Tx2D(nn.Module):
-    def __init__(self, dim, ctx, heads, groups):
+    def __init__(self, dim, ctx, heads, groups, linear=False):
         super().__init__()
+        self.linear = linear
         self.norm = nn.GroupNorm(groups, dim, eps=1e-6)
-        self.proj_in = nn.Conv2d(dim, dim, 1)
+        self.proj_in = nn.Linear(dim, dim) if linear else nn.Conv2d(dim, dim, 1)
         self.transformer_blocks = nn.ModuleList([TxBlock(dim, ctx, heads)])
-        self.proj_out = nn.Conv2d(dim, dim, 1)
+        self.proj_out = (nn.Linear(dim, dim) if linear
+                         else nn.Conv2d(dim, dim, 1))
 
     def forward(self, x, ctx):
         b, c, hh, ww = x.shape
         res = x
+        if self.linear:  # SD v2 use_linear_projection ordering
+            x = self.norm(x).permute(0, 2, 3, 1).reshape(b, hh * ww, c)
+            x = self.proj_in(x)
+            x = self.transformer_blocks[0](x, ctx)
+            x = self.proj_out(x)
+            return x.reshape(b, hh, ww, c).permute(0, 3, 1, 2) + res
         x = self.proj_in(self.norm(x))
         x = x.permute(0, 2, 3, 1).reshape(b, hh * ww, c)
         x = self.transformer_blocks[0](x, ctx)
@@ -140,28 +148,32 @@ class TorchTinyUNet(nn.Module):
     """Matches e4t_diffusion_tpu.models.unet.UNetConfig.tiny():
     blocks (32, 64), layers_per_block=1, heads=4, groups=8."""
 
-    def __init__(self, ctx_dim=32):
+    def __init__(self, ctx_dim=32, linear_proj=False, class_proj_dim=None):
         super().__init__()
         g, heads = 8, 4
         temb = 128
+        lin = linear_proj
         self.conv_in = nn.Conv2d(4, 32, 3, padding=1)
 
         class TimeEmb(nn.Module):
-            def __init__(self):
+            def __init__(self, cin=32):
                 super().__init__()
-                self.linear_1 = nn.Linear(32, temb)
+                self.linear_1 = nn.Linear(cin, temb)
                 self.linear_2 = nn.Linear(temb, temb)
 
             def forward(self, t):
                 return self.linear_2(F.silu(self.linear_1(t)))
 
         self.time_embedding = TimeEmb()
+        self.class_embedding = (TimeEmb(class_proj_dim)
+                                if class_proj_dim else None)
 
         class Down0(nn.Module):  # CrossAttnDownBlock2D(32), downsample
             def __init__(self):
                 super().__init__()
                 self.resnets = nn.ModuleList([Resnet(32, 32, temb, g)])
-                self.attentions = nn.ModuleList([Tx2D(32, ctx_dim, heads, g)])
+                self.attentions = nn.ModuleList(
+                    [Tx2D(32, ctx_dim, heads, g, linear=lin)])
                 self.downsamplers = nn.ModuleList([Downsampler(32)])
 
         class Down1(nn.Module):  # DownBlock2D(64), final (no downsample)
@@ -176,7 +188,8 @@ class TorchTinyUNet(nn.Module):
                 super().__init__()
                 self.resnets = nn.ModuleList(
                     [Resnet(64, 64, temb, g), Resnet(64, 64, temb, g)])
-                self.attentions = nn.ModuleList([Tx2D(64, ctx_dim, heads, g)])
+                self.attentions = nn.ModuleList(
+                    [Tx2D(64, ctx_dim, heads, g, linear=lin)])
 
         self.mid_block = Mid()
 
@@ -193,15 +206,18 @@ class TorchTinyUNet(nn.Module):
                 self.resnets = nn.ModuleList(
                     [Resnet(64 + 32, 32, temb, g), Resnet(32 + 4 * 0 + 32, 32, temb, g)])
                 self.attentions = nn.ModuleList(
-                    [Tx2D(32, ctx_dim, heads, g), Tx2D(32, ctx_dim, heads, g)])
+                    [Tx2D(32, ctx_dim, heads, g, linear=lin),
+                     Tx2D(32, ctx_dim, heads, g, linear=lin)])
                 self.upsamplers = None
 
         self.up_blocks = nn.ModuleList([Up0(), Up1()])
         self.conv_norm_out = nn.GroupNorm(g, 32, eps=1e-5)
         self.conv_out = nn.Conv2d(32, 4, 3, padding=1)
 
-    def forward(self, x, t, ctx):
+    def forward(self, x, t, ctx, class_labels=None):
         temb = self.time_embedding(timestep_embedding(t, 32))
+        if self.class_embedding is not None:
+            temb = temb + self.class_embedding(class_labels)
         x = self.conv_in(x)
         res = [x]
         d0 = self.down_blocks[0]
