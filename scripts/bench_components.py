@@ -1,12 +1,19 @@
 """Per-component timing probe for the inference hot path (real TPU).
 
-Breaks the E4T denoise step into its pieces and times each inside its own
-jit (3 repeats, best-of): full UNet forward (uncond fused-tap flavor and
-plain), text encoder, E4T fuse head, VAE decode, and the hoisted ViT-H.
-Use to attribute step time before touching kernels.
+Methodology (two axon-relay pitfalls to dodge, see CLAUDE.md):
+1. Per-dispatch latency through the remote tunnel is ~20-30 ms, so each
+   component is iterated N times INSIDE one jit (lax.scan over a stack of
+   distinct inputs) and the wall time is divided by N.
+2. Repeat dispatches with bit-identical arguments can return without
+   re-executing, so every scan iteration gets different inputs and the
+   timing loop re-randomizes between repeats.
 
-Knobs: E4T_BENCH_BATCH (8), E4T_BENCH_RES (512), plus the attention knobs
-E4T_FLASH_BLOCK_Q/K, E4T_FLASH_THRESHOLD_BYTES read by ops/attention.py.
+Prints one JSON line of per-call milliseconds for: full UNet forward,
+fused-tap UNet forward, text encoder, ViT-H encode, E4T fuse head, VAE
+decode, offset fold.
+
+Knobs: E4T_BENCH_BATCH (8), E4T_BENCH_RES (512), E4T_BENCH_ITERS (10),
+plus the attention knobs E4T_FLASH_BLOCK_Q/K, E4T_FLASH_THRESHOLD_BYTES.
 """
 import json
 import os
@@ -19,16 +26,39 @@ import jax
 import jax.numpy as jnp
 
 
-def timeit(fn, *args, repeats=3):
-    out = fn(*args)
+def scan_time(make_fn, stack_inputs, repeats=2):
+    """Time make_fn scanned over stacked inputs; returns ms per iteration.
+
+    stack_inputs: pytree whose leaves have a leading N axis.
+    """
+    n = jax.tree_util.tree_leaves(stack_inputs)[0].shape[0]
+
+    @jax.jit
+    def scanned(xs):
+        def body(carry, x):
+            out = make_fn(x)
+            # fold the output into a scalar carry so nothing is DCE'd and
+            # the per-iter output footprint stays tiny
+            s = sum(jnp.sum(o.astype(jnp.float32))
+                    for o in jax.tree_util.tree_leaves(out))
+            return carry + s, ()
+        tot, _ = jax.lax.scan(body, jnp.float32(0), xs)
+        return tot
+
+    out = scanned(stack_inputs)
     jax.block_until_ready(out)
     best = float("inf")
-    for _ in range(repeats):
+    for r in range(repeats):
+        # re-randomize to defeat relay-side same-args memoization
+        xs = jax.tree_util.tree_map(
+            lambda x: x + jnp.asarray(1e-3 * (r + 1), x.dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, stack_inputs)
+        jax.block_until_ready(xs)
         t0 = time.perf_counter()
-        out = fn(*args)
+        out = scanned(xs)
         jax.block_until_ready(out)
         best = min(best, time.perf_counter() - t0)
-    return best
+    return best / n * 1e3
 
 
 def main():
@@ -43,6 +73,7 @@ def main():
     setup_compilation_cache()
     batch = int(os.environ.get("E4T_BENCH_BATCH", "8"))
     res = int(os.environ.get("E4T_BENCH_RES", "512"))
+    iters = int(os.environ.get("E4T_BENCH_ITERS", "10"))
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
     modules = E4TModules.create(dtype=dtype)
     tcfg = modules.text_encoder.config
@@ -67,54 +98,82 @@ def main():
         lambda k: modules.vae.init(
             k, jnp.zeros((1, 3, res, res)), k)["params"], rng))
 
-    lat = jax.random.normal(rng, (batch, 4, res // 8, res // 8), dtype)
-    ctx = jnp.zeros((batch, 77, tcfg.hidden_size), dtype)
+    ks = jax.random.split(rng, 8)
+    lats = jax.random.normal(ks[0], (iters, batch, 4, res // 8, res // 8),
+                             dtype)
+    ctxs = jax.random.normal(ks[1], (iters, batch, 77, tcfg.hidden_size),
+                             dtype)
     t = jnp.zeros((batch,), jnp.int32)
-    ids = jnp.zeros((batch, 77), jnp.int32)
-    pixel = jnp.zeros((batch, 3, res, res), dtype)
+
+    only = os.environ.get("E4T_BENCH_ONLY", "")
+    want = lambda name: (not only) or name in only.split(",")
 
     results = {}
+    if want("unet_fwd"):
+        results["unet_fwd_ms"] = scan_time(
+            lambda x: modules.unet.apply({"params": unet_params},
+                                         x[0], t, x[1]),
+            (lats, ctxs))
+    if only:
+        results["batch"] = batch
+        results["blocks"] = (os.environ.get("E4T_FLASH_BLOCK_Q", "512"),
+                             os.environ.get("E4T_FLASH_BLOCK_K", "512"))
+        results["threshold"] = os.environ.get("E4T_FLASH_THRESHOLD_BYTES",
+                                              "default")
+        print(json.dumps({k: (round(v, 3) if isinstance(v, float) else v)
+                          for k, v in results.items()}))
+        return
+    results["unet_fwd_with_tap_ms"] = scan_time(
+        lambda x: modules.unet.apply({"params": unet_params}, x[0], t, x[1],
+                                     return_encoder_outputs="with_eps"),
+        (lats, ctxs))
 
-    unet_plain = jax.jit(lambda p, l, tt, c: modules.unet.apply(
-        {"params": p}, l, tt, c))
-    results["unet_fwd_ms"] = timeit(unet_plain, unet_params, lat, t, ctx) * 1e3
+    embeds = jax.random.normal(ks[2], (iters, batch, 77, tcfg.hidden_size),
+                               dtype)
+    results["text_encoder_ms"] = scan_time(
+        lambda x: modules.text_encoder.apply({"params": text_params},
+                                             inputs_embeds=x)[0], embeds)
 
-    unet_tap = jax.jit(lambda p, l, tt, c: modules.unet.apply(
-        {"params": p}, l, tt, c, return_encoder_outputs="with_eps"))
-    results["unet_fwd_with_tap_ms"] = timeit(
-        unet_tap, unet_params, lat, t, ctx) * 1e3
+    pixels = jax.random.normal(ks[3], (2, batch, 3, res, res), dtype)
+    results["vit_encode_ms"] = scan_time(
+        lambda x: modules.e4t_encoder.apply(
+            {"params": e4t_params}, x, method=E4TEncoder.encode_image),
+        pixels)
 
-    text_fn = jax.jit(lambda p, i: modules.text_encoder.apply(
-        {"params": p}, i)[0])
-    results["text_encoder_ms"] = timeit(text_fn, text_params, ids) * 1e3
+    vit_cfg = ecfg.vit
+    clip_feats = jax.random.normal(
+        ks[4], (iters, batch, ecfg.n_fused, vit_cfg.width), dtype)
+    unet_feats = jax.random.normal(
+        ks[5], (iters, batch, ecfg.unet_feature_dim), dtype)
+    results["e4t_fuse_ms"] = scan_time(
+        lambda x: modules.e4t_encoder.apply(
+            {"params": e4t_params}, x[0], x[1], method=E4TEncoder.fuse),
+        (clip_feats, unet_feats))
 
-    vit_fn = jax.jit(lambda p, x: modules.e4t_encoder.apply(
-        {"params": p}, x, method=E4TEncoder.encode_image))
-    results["vit_encode_ms"] = timeit(vit_fn, e4t_params, pixel) * 1e3
-    clip_feats = vit_fn(e4t_params, pixel)
+    dec_lats = jax.random.normal(ks[6], (2, batch, 4, res // 8, res // 8),
+                                 dtype)
+    results["vae_decode_ms"] = scan_time(
+        lambda x: modules.vae.apply({"params": vae_params}, x,
+                                    method=AutoencoderKL.decode), dec_lats)
 
-    tap = unet_tap(unet_params, lat, t, ctx)[1]
-    feats = jax.jit(pool_encoder_features)(tap)
-    fuse_fn = jax.jit(lambda p, cf, uf: modules.e4t_encoder.apply(
-        {"params": p}, cf, uf, method=E4TEncoder.fuse))
-    results["e4t_fuse_ms"] = timeit(fuse_fn, e4t_params, clip_feats, feats) * 1e3
-
-    vae_fn = jax.jit(lambda p, l: modules.vae.apply(
-        {"params": p}, l, method=AutoencoderKL.decode))
-    results["vae_decode_ms"] = timeit(vae_fn, vae_params, lat) * 1e3
-
-    fold_fn = jax.jit(lambda p, b: wo.fold_offset_bank(p, b))
     offsets = cast(zeros_params(
         lambda k: wo.init_offset_bank(k, modules.unet.config), rng))
-    results["fold_offsets_ms"] = timeit(fold_fn, unet_params, offsets) * 1e3
+    # fold is param-only; vary via a scalar jitter on the bank
+    jit_scalars = jnp.linspace(0.0, 1e-4, 4).astype(dtype)
+    results["fold_offsets_ms"] = scan_time(
+        lambda s: wo.fold_offset_bank(
+            unet_params,
+            jax.tree_util.tree_map(lambda x: x + s, offsets)),
+        jit_scalars)
 
-    step_est = (results["unet_fwd_with_tap_ms"] + results["unet_fwd_ms"]
-                + results["text_encoder_ms"] + results["e4t_fuse_ms"])
-    results["est_cfg_step_ms"] = step_est
+    results["est_cfg_step_ms"] = (
+        results["unet_fwd_with_tap_ms"] + results["unet_fwd_ms"]
+        + results["text_encoder_ms"] + results["e4t_fuse_ms"])
     results["batch"] = batch
     results["blocks"] = (os.environ.get("E4T_FLASH_BLOCK_Q", "512"),
                          os.environ.get("E4T_FLASH_BLOCK_K", "512"))
-    print(json.dumps(results))
+    print(json.dumps({k: (round(v, 3) if isinstance(v, float) else v)
+                      for k, v in results.items()}))
 
 
 if __name__ == "__main__":
