@@ -242,3 +242,138 @@ def test_unclip_pipeline_prompt_conditioning(tiny_unclip):
     b = pipe(image, prompt="photo", num_inference_steps=2,
              guidance_scale=5.0, seed=2, output_type="np")
     assert np.abs(a - b).max() > 1e-6
+
+
+def test_load_sd_unclip_roundtrip(tmp_path):
+    """Synthesize a full diffusers-format stable-diffusion-2-1-unclip
+    directory (unet/vae/text_encoder/image_encoder/image_normalizer/
+    scheduler/image_noising_scheduler/tokenizer) and drive the loader +
+    pipeline end to end."""
+    import json
+    import os
+
+    import torch as _torch
+    from transformers import CLIPVisionConfig as HFVisionConfig
+    from transformers import CLIPVisionModelWithProjection as HFVisionProj
+
+    from e4t_diffusion_tpu.utils import artifacts
+    from e4t_diffusion_tpu.models.vae import AutoencoderKL, VAEConfig
+
+    root = str(tmp_path / "unclip")
+    modules = UnCLIPModules.tiny()
+    ucfg = modules.unet.config
+    rng = jax.random.PRNGKey(0)
+    ks = jax.random.split(rng, 3)
+    tcfg = modules.text_encoder.config
+    unet_params = modules.unet.init(
+        ks[0], jnp.zeros((1, 4, 8, 8)), jnp.array([0]),
+        jnp.zeros((1, tcfg.max_position_embeddings, tcfg.hidden_size)),
+        class_labels=jnp.zeros((1, 32)))["params"]
+    vae_params = modules.vae.init(ks[1], jnp.zeros((1, 3, 16, 16)),
+                                  ks[1])["params"]
+    text_params = modules.text_encoder.init(
+        ks[2], jnp.zeros((1, tcfg.max_position_embeddings), jnp.int32))["params"]
+
+    os.makedirs(os.path.join(root, "unet"))
+    with open(os.path.join(root, "unet", "config.json"), "w") as f:
+        json.dump({
+            "sample_size": ucfg.sample_size, "in_channels": 4,
+            "out_channels": 4,
+            "down_block_types": list(ucfg.down_block_types),
+            "up_block_types": list(ucfg.up_block_types),
+            "block_out_channels": list(ucfg.block_out_channels),
+            "layers_per_block": ucfg.layers_per_block,
+            "attention_head_dim": ucfg.attention_head_dim,
+            "cross_attention_dim": ucfg.cross_attention_dim,
+            "norm_num_groups": ucfg.norm_num_groups,
+            "use_linear_projection": True,
+            "class_embed_type": "projection",
+            "projection_class_embeddings_input_dim": 32,
+        }, f)
+    convert.save_torch_state_dict(
+        convert.unet_to_torch(unet_params),
+        os.path.join(root, "unet", "diffusion_pytorch_model.bin"))
+
+    vcfg = modules.vae.config
+    os.makedirs(os.path.join(root, "vae"))
+    with open(os.path.join(root, "vae", "config.json"), "w") as f:
+        json.dump({"block_out_channels": list(vcfg.block_out_channels),
+                   "layers_per_block": vcfg.layers_per_block,
+                   "norm_num_groups": vcfg.norm_num_groups,
+                   "sample_size": vcfg.sample_size}, f)
+    convert.save_torch_state_dict(
+        convert.vae_to_torch(vae_params),
+        os.path.join(root, "vae", "diffusion_pytorch_model.bin"))
+
+    os.makedirs(os.path.join(root, "text_encoder"))
+    with open(os.path.join(root, "text_encoder", "config.json"), "w") as f:
+        json.dump({"vocab_size": tcfg.vocab_size,
+                   "hidden_size": tcfg.hidden_size,
+                   "num_hidden_layers": tcfg.num_layers,
+                   "num_attention_heads": tcfg.num_heads,
+                   "intermediate_size": tcfg.intermediate_size,
+                   "max_position_embeddings": tcfg.max_position_embeddings,
+                   "hidden_act": "quick_gelu"}, f)
+    convert.save_torch_state_dict(
+        convert.clip_text_to_torch(text_params, tcfg.num_layers),
+        os.path.join(root, "text_encoder", "pytorch_model.bin"))
+
+    hf_cfg = HFVisionConfig(
+        hidden_size=32, num_hidden_layers=4, num_attention_heads=4,
+        intermediate_size=64, image_size=28, patch_size=14,
+        projection_dim=16)
+    hf = HFVisionProj(hf_cfg)
+    os.makedirs(os.path.join(root, "image_encoder"))
+    with open(os.path.join(root, "image_encoder", "config.json"), "w") as f:
+        json.dump({"hidden_size": 32, "num_hidden_layers": 4,
+                   "num_attention_heads": 4, "intermediate_size": 64,
+                   "image_size": 28, "patch_size": 14,
+                   "projection_dim": 16, "hidden_act": "quick_gelu"}, f)
+    _torch.save(hf.state_dict(),
+                os.path.join(root, "image_encoder", "pytorch_model.bin"))
+
+    os.makedirs(os.path.join(root, "image_normalizer"))
+    _torch.save({"mean": _torch.zeros(1, 16), "std": _torch.ones(1, 16)},
+                os.path.join(root, "image_normalizer",
+                             "diffusion_pytorch_model.bin"))
+
+    os.makedirs(os.path.join(root, "scheduler"))
+    with open(os.path.join(root, "scheduler", "scheduler_config.json"), "w") as f:
+        json.dump({"beta_start": 0.00085, "beta_end": 0.012,
+                   "beta_schedule": "scaled_linear",
+                   "num_train_timesteps": 1000, "steps_offset": 1,
+                   "prediction_type": "v_prediction"}, f)
+    os.makedirs(os.path.join(root, "image_noising_scheduler"))
+    with open(os.path.join(root, "image_noising_scheduler",
+                           "scheduler_config.json"), "w") as f:
+        json.dump({"beta_schedule": "squaredcos_cap_v2",
+                   "num_train_timesteps": 1000}, f)
+    make_tiny_tokenizer_files(os.path.join(root, "tokenizer"),
+                              extra_words=["photo"])
+
+    loaded = artifacts.load_sd_unclip(root)
+    assert loaded["unet_config"].use_linear_projection
+    assert loaded["unet_config"].class_embed_type == "projection"
+    assert loaded["schedule_config"].prediction_type == "v_prediction"
+    assert loaded["noise_aug_schedule"].beta_schedule == "squaredcos_cap_v2"
+
+    built = UnCLIPModules.create(
+        unet_config=loaded["unet_config"], vae_config=loaded["vae_config"],
+        text_config=loaded["text_config"],
+        image_config=loaded["image_encoder_config"])
+    built.noise_aug_schedule = loaded["noise_aug_schedule"]
+    params = {"unet": loaded["unet"], "vae": loaded["vae"],
+              "text": loaded["text"],
+              "image_encoder": loaded["image_encoder"],
+              "image_normalizer": loaded["image_normalizer"]}
+    tokenizer = CLIPTokenizer.from_pretrained(
+        loaded["tokenizer_dir"], model_max_length=tcfg.max_position_embeddings)
+    pipe = StableUnCLIPImg2ImgPipeline(
+        built, params, tokenizer,
+        scheduler=DPMSolverMultistepScheduler(loaded["schedule_config"]))
+    image = (np.random.default_rng(1)
+             .uniform(0, 255, (32, 32, 3)).astype(np.uint8))
+    out = pipe(image, num_inference_steps=2, guidance_scale=10.0,
+               noise_level=100, seed=3, output_type="np")
+    assert out.shape == (1, 3, 16, 16)
+    assert np.isfinite(out).all()
