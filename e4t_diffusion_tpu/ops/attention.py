@@ -11,9 +11,13 @@ slicing is needed:
 - einsum_attention: XLA-fused softmax attention; fastest while the f32
   score tensor traffic is cheap, and the only masked/causal path.
 - flash_attention: Pallas online-softmax kernel, fwd (kv-resident when k/v
-  fit VMEM, (bh,nq,nk) grid otherwise) + custom-VJP bwd. Used above the
-  score-size dispatch threshold and for all training traces
-  (flash_threshold(0)) where einsum's backward peaks don't fit.
+  fit VMEM, (bh,nq,nk) grid otherwise) + custom-VJP bwd (residency-based
+  at in-VMEM sizes, blocked grids beyond). Used above the score-size
+  dispatch threshold and for all training traces (flash_threshold(0))
+  where einsum's backward peaks don't fit. For head_dim below the
+  128-lane tile (the SD UNet's d=40/d=80 sites) the forward uses a
+  transposed-accumulator variant that pads d to the 8-sublane tile
+  instead of 128 lanes, cutting the p@v MXU cost up to 3.2x.
 
 Interface: tensors are (batch, heads, seq, head_dim) ["BHSD"].
 """
@@ -273,6 +277,100 @@ def _flash_fwd_kvres(q, k, v, scale, block_q, block_k):
         interpret=_use_interpret(),
     )(q, k, v)
     return out, lse[:, :, 0]
+
+
+# Low-head-dim forward: transposed accumulator layout. For d < 128 the
+# standard layout pads head_dim to the 128-lane tile, so the p@v matmul
+# pays for a full 128-wide output (3.2x waste at d=40, the 4096-token SD
+# UNet sites). Keeping the accumulator TRANSPOSED — acc_T (d, block_q) =
+# v_T (d, block_k) @ p_T (block_k, block_q) — moves the small dimension to
+# the MXU's sublane axis (pads to 8, not 128): at d=40 the pv pass drops
+# from 64x4 to 5x4x4 tile-units per block. The qk^T pass is computed
+# directly in transposed form s_T = k @ q_T (same cost as before; the
+# online softmax reduces over the sublane axis instead of lanes).
+
+def _flash_fwd_lowdim_kernel(qt_ref, k_ref, vt_ref, ot_ref, lse_ref,
+                             *, scale: float, kv_len: int, block_k: int):
+    qt = qt_ref[0]                    # (d, block_q)
+    sk_pad = k_ref.shape[1]
+    nk = sk_pad // block_k
+    d, bq = qt.shape
+
+    def body(j, carry):
+        m, l, acc = carry             # m,l: (1, bq); acc: (d, bq)
+        off = j * block_k
+        k = k_ref[0, pl.ds(off, block_k), :]    # (block_k, d)
+        vt = vt_ref[0, :, pl.ds(off, block_k)]  # (d, block_k)
+        st = jax.lax.dot_general(
+            k, qt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (block_k, bq)
+        if kv_len % block_k != 0:
+            row = off + jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
+            st = jnp.where(row < kv_len, st, _NEG_INF)
+        m_cur = jnp.max(st, axis=0, keepdims=True)       # (1, bq)
+        m_next = jnp.maximum(m, m_cur)
+        alpha = jnp.exp(m - m_next)
+        pt = jnp.exp(st - m_next)                        # (block_k, bq)
+        l_next = alpha * l + jnp.sum(pt, axis=0, keepdims=True)
+        acc_next = acc * alpha + jax.lax.dot_general(
+            vt, pt.astype(vt.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (d, bq)
+        return m_next, l_next, acc_next
+
+    m0 = jnp.full((1, bq), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((1, bq), jnp.float32)
+    acc0 = jnp.zeros((d, bq), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, nk, body, (m0, l0, acc0))
+    inv = jnp.where(l > 0.0, 1.0 / l, 0.0)
+    ot_ref[0] = (acc * inv).astype(ot_ref.dtype)
+    lse = m + jnp.log(jnp.maximum(l, 1e-37))
+    lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+
+
+def _flash_fwd_lowdim(q, k, v, scale, block_q, block_k):
+    """q: (BH, Sq, D), k/v: (BH, Sk, D) with D a multiple of 8 (< 128).
+    Returns (out (BH, Sq, D), lse (BH, Sq))."""
+    bh, sq, d = q.shape
+    sk = k.shape[1]
+    sk_pad = _round_up(sk, block_k)
+    if sk_pad != sk:
+        k = jnp.pad(k, ((0, 0), (0, sk_pad - sk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, sk_pad - sk), (0, 0)))
+    qt = jnp.swapaxes(q, 1, 2)  # (BH, D, Sq)
+    vt = jnp.swapaxes(v, 1, 2)  # (BH, D, Sk_pad)
+    nq = sq // block_q
+    ot, lse = pl.pallas_call(
+        functools.partial(_flash_fwd_lowdim_kernel, scale=scale, kv_len=sk,
+                          block_k=block_k),
+        grid=(bh, nq),
+        in_specs=[
+            pl.BlockSpec((1, d, block_q), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_pad, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, sk_pad), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, d, block_q), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, block_q), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, d, sq), q.dtype),
+            jax.ShapeDtypeStruct((bh, 8, sq), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * sq * sk * d,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=bh * sq * sk,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=_use_interpret(),
+    )(qt, k, vt)
+    return jnp.swapaxes(ot, 1, 2), lse[:, 0, :]
 
 
 # ---------------------------------------------------------------------------
@@ -643,6 +741,34 @@ _flash_attention_padded.defvjp(_flash_attention_padded_fwd,
                                _flash_attention_padded_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_attention_lowdim_padded(q, k, v, scale, block_q, block_k):
+    out, _ = _flash_fwd_lowdim(q, k, v, scale, block_q, block_k)
+    return out
+
+
+def _flash_attention_lowdim_fwd(q, k, v, scale, block_q, block_k):
+    out, lse = _flash_fwd_lowdim(q, k, v, scale, block_q, block_k)
+    return out, (q, k, v, out, lse)
+
+
+def _flash_attention_lowdim_bwd(scale, block_q, block_k, res, g):
+    # backward reuses the standard kernels on lane-padded residuals; the
+    # zero-padded tail contributes nothing (delta and scores unchanged)
+    q, k, v, out, lse = res
+    d = q.shape[-1]
+    dpad = _round_up(d, _LANES)
+    pad = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, dpad - d)))
+    dq, dk, dv = _flash_bwd(
+        (pad(q), pad(k), pad(v), pad(out), lse), pad(g),
+        scale, block_q, block_k)
+    return dq[..., :d], dk[..., :d], dv[..., :d]
+
+
+_flash_attention_lowdim_padded.defvjp(_flash_attention_lowdim_fwd,
+                                      _flash_attention_lowdim_bwd)
+
+
 import os as _os
 
 # 512/512 measured fastest on v5e for the 4096-token UNet sites
@@ -678,6 +804,22 @@ def flash_attention(
     qf = q.reshape(b * h, sq, d)
     kf = k.reshape(b * h, sk, d)
     vf = v.reshape(b * h, sk, d)
+
+    # Low-head-dim route: transposed-accumulator kernel (sublane-padded d)
+    # whenever head_dim is below the lane tile and k/v fit VMEM.
+    d_sub = _round_up(d, 8)
+    if (d_sub < _LANES
+            and _round_up(sk, block_k) * _LANES <= _KVRES_MAX_ELEMS):
+        if d_sub != d:
+            qf = jnp.pad(qf, ((0, 0), (0, 0), (0, d_sub - d)))
+            kf = jnp.pad(kf, ((0, 0), (0, 0), (0, d_sub - d)))
+            vf = jnp.pad(vf, ((0, 0), (0, 0), (0, d_sub - d)))
+        if sq_pad != sq:
+            qf = jnp.pad(qf, ((0, 0), (0, sq_pad - sq), (0, 0)))
+        out = _flash_attention_lowdim_padded(qf, kf, vf, scale,
+                                             block_q, block_k)
+        return out[:, :sq, :d].reshape(b, h, sq, d)
+
     if d_pad != d:
         qf = jnp.pad(qf, ((0, 0), (0, 0), (0, d_pad - d)))
         kf = jnp.pad(kf, ((0, 0), (0, 0), (0, d_pad - d)))
@@ -692,17 +834,17 @@ def flash_attention(
 
 # Above this many bytes for the materialized (B,H,Sq,Sk) f32 score matrix,
 # dispatch to the flash kernel; below it XLA's fused einsum attention is
-# faster on TPU (measured: full SD UNet fwd at batch 8 512px is 131 ms with
-# einsum vs 189 ms with the flash kernel — the flash grid's many small
-# sequential invocations are overhead-bound at inference sizes, while the
-# einsum path's score tensor traffic is cheap until it stops fitting HBM
-# comfortably). Training-sized batches cross the threshold and use flash.
-# v5e measurements (512px SD UNet fwd, batch 8): the 4096-token sites run
-# faster through the kv-resident flash kernel (31 ms vs 39 ms einsum per
-# site inside one jit), while <=1024-token sites are cheaper via XLA einsum.
-# 1 GiB of f32 scores ~= the 4096-site at batch 2 — flash above, einsum below.
+# faster on TPU. v5e progression (512px SD UNet fwd, batch 8, inside one
+# jit): v1 (bh,nq,nk)-grid flash was invocation-bound (189 ms vs 131 ms
+# all-einsum); the kv-resident kernel flipped the 4096-token sites to
+# flash (65.5 ms at a 1 GiB threshold); the transposed-accumulator
+# low-head-dim variant cut that to 61.3 ms; and routing the 1024-token
+# d=80 sites (268 MB of f32 scores each — einsum is HBM-bound there) to
+# the same kernel landed 59.0 ms at a 128 MB threshold. Below ~128 MB
+# (256-token sites, 77-token cross-attention) einsum's fused score
+# traffic stays cheaper than kernel invocation overhead.
 _FLASH_SCORE_BYTES = int(
-    __import__("os").environ.get("E4T_FLASH_THRESHOLD_BYTES", 1024 ** 3))
+    __import__("os").environ.get("E4T_FLASH_THRESHOLD_BYTES", 128 * 1024 ** 2))
 _THRESHOLD_OVERRIDE: list = []
 
 

@@ -116,6 +116,24 @@ def test_flash_gradients_resident_uneven_kv(monkeypatch):
                                    atol=1e-4, rtol=1e-4)
 
 
+def test_lowdim_route_selected(monkeypatch):
+    """head_dim below the lane tile routes through the transposed-
+    accumulator kernel; full-tile head_dim uses the standard kernel."""
+    from e4t_diffusion_tpu.ops import attention as A
+
+    calls = []
+    real = A._flash_attention_lowdim_padded
+    monkeypatch.setattr(A, "_flash_attention_lowdim_padded",
+                        lambda *a, **k: calls.append("lowdim") or real(*a, **k))
+    q40 = jnp.asarray(_rand((1, 2, 128, 40)))
+    A.flash_attention(q40, q40, q40, block_q=128, block_k=128)
+    assert calls == ["lowdim"]
+    calls.clear()
+    q128 = jnp.asarray(_rand((1, 2, 128, 128)))
+    A.flash_attention(q128, q128, q128, block_q=128, block_k=128)
+    assert calls == []
+
+
 def test_dispatcher_cpu_falls_back():
     q = jnp.asarray(_rand((1, 1, 16, 8)))
     out = dot_product_attention(q, q, q)
