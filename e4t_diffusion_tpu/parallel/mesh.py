@@ -17,6 +17,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "dp"
+TENSOR_AXIS = "tp"
 
 
 def maybe_initialize_distributed() -> None:
@@ -33,11 +34,19 @@ def maybe_initialize_distributed() -> None:
             print(f"[mesh] jax.distributed.initialize skipped: {e}")
 
 
-def get_mesh(num_devices: Optional[int] = None) -> Mesh:
+def get_mesh(num_devices: Optional[int] = None, tp: int = 1) -> Mesh:
+    """Device mesh. ``tp=1`` (default) is the reference-parity pure-DP
+    layout; ``tp>1`` folds the devices into a (dp, tp) grid for optional
+    tensor parallelism over the UNet transformer sites (beyond reference
+    parity — SURVEY.md §2.4 lists TP as absent upstream). The mesh is
+    always 2-D so ``P("dp")`` batch specs work unchanged in both modes."""
     devices = jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
-    return Mesh(np.asarray(devices), (DATA_AXIS,))
+    n = len(devices)
+    assert n % tp == 0, f"{n} devices not divisible by tp={tp}"
+    grid = np.asarray(devices).reshape(n // tp, tp)
+    return Mesh(grid, (DATA_AXIS, TENSOR_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -96,6 +105,56 @@ def apply_zero1(opt_state, mesh: Mesh):
     """device_put the optimizer state with ZeRO-1 shardings."""
     shardings = zero1_sharding(opt_state, mesh)
     return jax.tree_util.tree_map(jax.device_put, opt_state, shardings)
+
+
+def tensor_parallel_specs(params, mesh: Mesh):
+    """PartitionSpecs for tensor parallelism over the UNet transformer
+    sites (Megatron-style; beyond reference parity — SURVEY.md §2.4 lists
+    TP as absent upstream).
+
+    Column-parallel (output dim on ``tp``): to_q/to_k/to_v, ff net_0_proj,
+    proj_in. Row-parallel (input dim on ``tp``): to_out_0, ff net_2,
+    proj_out. Everything else (convs, norms, time embeddings) is
+    replicated; XLA SPMD propagates activation shardings from the param
+    shardings and inserts the reduce collectives over ICI — no manual
+    psum. Works for both Dense kernels (2-D) and the 1x1-conv
+    proj_in/proj_out form (4-D, feature axes last).
+
+    Returns a pytree of NamedShardings aligned with ``params``; use with
+    jax.device_put (or as jit in_shardings). With tp=1 meshes this
+    degenerates to replication.
+    """
+    col_parallel = ("to_q", "to_k", "to_v", "net_0_proj", "proj_in")
+    row_parallel = ("to_out_0", "net_2", "proj_out")
+    rep = replicated(mesh)
+
+    def spec(path, leaf):
+        keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        if "kernel" not in keys[-1:]:
+            # biases: shard along tp only for column-parallel outputs
+            if len(keys) >= 2 and keys[-2] in col_parallel \
+                    and keys[-1] == "bias":
+                return NamedSharding(mesh, P(TENSOR_AXIS))
+            return rep
+        owner = keys[-2] if len(keys) >= 2 else ""
+        ndim = getattr(leaf, "ndim", 0)
+        if owner in col_parallel:
+            parts = [None] * ndim
+            parts[-1] = TENSOR_AXIS  # (.., in, out) -> shard out
+            return NamedSharding(mesh, P(*parts))
+        if owner in row_parallel:
+            parts = [None] * ndim
+            parts[-2] = TENSOR_AXIS  # shard in
+            return NamedSharding(mesh, P(*parts))
+        return rep
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def apply_tensor_parallel(params, mesh: Mesh):
+    """device_put ``params`` with tensor-parallel shardings."""
+    specs = tensor_parallel_specs(params, mesh)
+    return jax.tree_util.tree_map(jax.device_put, params, specs)
 
 
 def local_batch_slice(global_batch: int, mesh: Mesh) -> int:

@@ -45,8 +45,7 @@ def scan_time(make_fn, stack_inputs, repeats=2):
         tot, _ = jax.lax.scan(body, jnp.float32(0), xs)
         return tot
 
-    out = scanned(stack_inputs)
-    jax.block_until_ready(out)
+    float(scanned(stack_inputs))  # warmup; fetch forces a real relay sync
     best = float("inf")
     for r in range(repeats):
         # re-randomize to defeat relay-side same-args memoization
@@ -55,8 +54,10 @@ def scan_time(make_fn, stack_inputs, repeats=2):
             if jnp.issubdtype(x.dtype, jnp.floating) else x, stack_inputs)
         jax.block_until_ready(xs)
         t0 = time.perf_counter()
-        out = scanned(xs)
-        jax.block_until_ready(out)
+        # fetch the scalar INSIDE the timed region: under the axon relay,
+        # block_until_ready on a small result can acknowledge before the
+        # device actually executed; only a value fetch guarantees sync
+        float(scanned(xs))
         best = min(best, time.perf_counter() - t0)
     return best / n * 1e3
 
