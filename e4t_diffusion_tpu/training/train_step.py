@@ -46,6 +46,12 @@ class E4TTrainConfig:
     max_grad_norm: Optional[float] = None  # set (1.0) in phase 2
     remat_unet: bool = True
     grads_bf16: bool = False  # halve gradient HBM (16GB-chip tuning aid)
+    # True (default): trace with all-flash attention (flat backward HBM).
+    # False: einsum attention everywhere — required under tensor
+    # parallelism, where XLA partitions einsums over the sharded head axis
+    # natively but cannot partition the Pallas custom call; the score
+    # tensors are then sharded over tp, so the memory penalty divides.
+    all_flash: bool = True
 
 
 def split_trainable(params: Dict, cfg: E4TTrainConfig):
@@ -205,7 +211,7 @@ def make_train_step(modules: E4TModules, ddpm: DDPMScheduler,
         rng = jax.random.fold_in(rng, state.step)
         # trace the loss with all-flash attention: the einsum path's score
         # tensors inflate peak HBM in the backward pass
-        with flash_threshold(0):
+        with flash_threshold(0 if cfg.all_flash else (1 << 62)):
             (_, metrics), grads = jax.value_and_grad(
                 lambda t: e4t_loss_fn(modules, ddpm, cfg, t, frozen, batch,
                                       rng),

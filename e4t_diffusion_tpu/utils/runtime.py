@@ -6,6 +6,24 @@ import os
 import jax
 
 
+def apply_platform_override() -> None:
+    """Honor E4T_PLATFORM / E4T_NUM_CPU_DEVICES at CLI startup.
+
+    Some TPU images pin the PJRT plugin via sitecustomize at interpreter
+    start, so the standard JAX_PLATFORMS env prefix is silently ignored;
+    jax.config still wins as long as no backend has been initialized.
+    E4T_PLATFORM=cpu E4T_NUM_CPU_DEVICES=8 runs a CLI on a virtual
+    8-device CPU mesh (how the test suite exercises dp/tp shardings
+    without hardware).
+    """
+    plat = os.environ.get("E4T_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+        n = os.environ.get("E4T_NUM_CPU_DEVICES")
+        if n:
+            jax.config.update("jax_num_cpu_devices", int(n))
+
+
 def setup_compilation_cache(path: str | None = None) -> None:
     """Persistent XLA compilation cache: the phase-2 tuning step and the
     50-step sampling scan compile in minutes; with the cache, repeat CLI

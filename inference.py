@@ -65,9 +65,11 @@ def parse_args():
 
 def main():
     args = parse_args()
-    print(f"devices: {jax.devices()}")
-    from e4t_diffusion_tpu.utils.runtime import setup_compilation_cache
+    from e4t_diffusion_tpu.utils.runtime import (apply_platform_override,
+                                                 setup_compilation_cache)
 
+    apply_platform_override()
+    print(f"devices: {jax.devices()}")
     setup_compilation_cache()
     if args.dtype == "auto":
         dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32

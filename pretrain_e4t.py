@@ -118,6 +118,13 @@ def parse_args():
     parser.add_argument("--zero1", action="store_true", default=False,
                         help="shard optimizer state over the dp mesh axis "
                              "(ZeRO-1); cuts optimizer HBM by ~n_devices")
+    parser.add_argument("--tensor_parallel", type=int, default=1,
+                        help="tensor-parallel degree: devices form a "
+                             "(dp, tp) mesh and the UNet attention/FF "
+                             "kernels are column/row-sharded over tp "
+                             "(beyond reference parity; attention runs "
+                             "the einsum path, which XLA partitions over "
+                             "the head axis)")
     # profiling (new subsystem vs reference, SURVEY.md §5.1)
     parser.add_argument("--profile_steps", type=int, default=0,
                         help="capture a jax.profiler trace for steps "
@@ -138,10 +145,12 @@ def parse_args():
 def main():
     args = parse_args()
     pmesh.maybe_initialize_distributed()
-    from e4t_diffusion_tpu.utils.runtime import setup_compilation_cache
+    from e4t_diffusion_tpu.utils.runtime import (apply_platform_override,
+                                                 setup_compilation_cache)
 
+    apply_platform_override()
     setup_compilation_cache()
-    mesh = pmesh.get_mesh()
+    mesh = pmesh.get_mesh(tp=args.tensor_parallel)
     is_main = jax.process_index() == 0
     np.random.seed(args.seed)
     print(f"mesh: {mesh}")
@@ -204,6 +213,7 @@ def main():
         train_unet=False, train_text_encoder=False,
         train_clip_vision=args.unfreeze_clip_vision,
         max_grad_norm=None,  # pretrain does not clip (reference parity)
+        all_flash=args.tensor_parallel == 1,
     )
     schedule = make_lr_schedule(
         args.lr_scheduler, learning_rate,
@@ -252,6 +262,11 @@ def main():
             opt_state=pmesh.apply_zero1(state.opt_state, mesh))
         frozen = pmesh.replicate(frozen, mesh)
         print("ZeRO-1: optimizer state sharded over dp")
+    if args.tensor_parallel > 1:
+        # phase 1 freezes the UNet; its params are the big TP win
+        frozen["unet"] = pmesh.apply_tensor_parallel(frozen["unet"], mesh)
+        print(f"tensor parallelism: UNet kernels sharded over "
+              f"tp={args.tensor_parallel}")
 
     ddpm = DDPMScheduler(base["schedule_config"])
     step_fn = jax.jit(make_train_step(modules, ddpm, cfg, tx),

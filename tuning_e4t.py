@@ -74,6 +74,11 @@ def parse_args():
                         action="store_true",
                         help="parity no-op; flash attention is always used")
     parser.add_argument("--train_text_encoder", action="store_true")
+    parser.add_argument("--tensor_parallel", type=int, default=1,
+                        help="tensor-parallel degree: devices form a "
+                             "(dp, tp) mesh and the UNet attention/FF "
+                             "kernels are column/row-sharded over tp "
+                             "(beyond reference parity)")
     parser.add_argument("--grads_bf16", action="store_true",
                         help="cast gradients to bf16 before the optimizer "
                              "(reduces optimizer-input traffic; note the "
@@ -101,10 +106,12 @@ def parse_args():
 
 def main():
     args = parse_args()
-    pmesh_handle = pmesh.get_mesh()
-    from e4t_diffusion_tpu.utils.runtime import setup_compilation_cache
+    from e4t_diffusion_tpu.utils.runtime import (apply_platform_override,
+                                                 setup_compilation_cache)
 
+    apply_platform_override()
     setup_compilation_cache()
+    pmesh_handle = pmesh.get_mesh(tp=args.tensor_parallel)
     np.random.seed(args.seed)
 
     # load pre-trained args (two-level config provenance, SURVEY.md §5.6)
@@ -157,6 +164,7 @@ def main():
         train_clip_vision=args.unfreeze_clip_vision,
         max_grad_norm=args.max_grad_norm,
         grads_bf16=args.grads_bf16,
+        all_flash=args.tensor_parallel == 1,
     )
     schedule = make_lr_schedule(args.lr_scheduler, learning_rate,
                                 args.lr_warmup_steps * args.gradient_accumulation_steps,
@@ -170,6 +178,18 @@ def main():
     n_train = sum(int(np.prod(p.shape)) for p in
                   jax.tree_util.tree_leaves(state.trainable))
     print(f"Number of Trainable Parameters: {n_train * 1e-6:.2f} M")
+    if args.tensor_parallel > 1:
+        # phase 2 trains the UNet: shard its params over tp. The spec
+        # rules match on path suffixes (…/to_q/kernel), so they apply to
+        # the optimizer moment trees too — except the 8-bit optimizer,
+        # whose chunk-quantized leaves don't preserve kernel shapes.
+        state.trainable["unet"] = pmesh.apply_tensor_parallel(
+            state.trainable["unet"], pmesh_handle)
+        if not args.use_8bit_adam:
+            state.opt_state = pmesh.apply_tensor_parallel(
+                state.opt_state, pmesh_handle)
+        print(f"tensor parallelism: UNet kernels sharded over "
+              f"tp={args.tensor_parallel}")
 
     ddpm = DDPMScheduler(base["schedule_config"])
     step_fn = jax.jit(make_train_step(modules, ddpm, cfg, tx), donate_argnums=(0,))
