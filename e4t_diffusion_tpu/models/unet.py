@@ -175,11 +175,39 @@ class ResnetBlock2D(nn.Module):
         return x + h
 
 
+def _fused_qkv_enabled() -> bool:
+    import os
+    return os.environ.get("E4T_FUSED_QKV", "0") not in ("0", "false", "")
+
+
+class _ProjKernel(nn.Module):
+    """Bias-free projection kernel parameter under the same tree path as
+    an nn.Dense (``<name>/kernel``), so checkpoints/offset-fold/TP specs
+    are identical whether projections run separately or fused."""
+    in_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (self.in_dim, self.out_dim), jnp.float32)
+
+
 class Attention(nn.Module):
     """Multi-head attention with plain q/k/v/out kernels.
 
     Offset-free by construction: W_eff folding happens on the param pytree
     (models/weight_offsets.py) before apply.
+
+    E4T_FUSED_QKV=1 computes the q/k/v projections as one matmul against
+    the trace-time-concatenated kernels (x @ [Wq|Wk|Wv]; k/v only for
+    cross-attention). Parameters stay separate per projection, so both
+    modes consume the same checkpoints (tests/test_fused_qkv.py).
+    Measured on v5e (2026-08-16): SLOWER than separate projections
+    (full UNet fwd 57.9 ms vs 55.5 at batch 8) — XLA does not hoist the
+    kernel concats out of the denoise scan, so they cost weight-sized
+    HBM traffic every step. Kept off by default as a documented negative
+    result; revisit only if XLA gains loop-invariant param hoisting.
     """
     heads: int
     dim_head: int
@@ -188,11 +216,29 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x, context=None):
+        is_self = context is None
         context = x if context is None else context
         inner = self.heads * self.dim_head
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        if _fused_qkv_enabled():
+            wq = _ProjKernel(x.shape[-1], inner, name="to_q")()
+            wk = _ProjKernel(context.shape[-1], inner, name="to_k")()
+            wv = _ProjKernel(context.shape[-1], inner, name="to_v")()
+            if is_self:
+                qkv = x @ jnp.concatenate([wq, wk, wv],
+                                          axis=1).astype(self.dtype)
+                q, k, v = jnp.split(qkv, 3, axis=-1)
+            else:
+                q = x @ wq.astype(self.dtype)
+                kv = context @ jnp.concatenate([wk, wv],
+                                               axis=1).astype(self.dtype)
+                k, v = jnp.split(kv, 2, axis=-1)
+        else:
+            q = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                         name="to_q")(x)
+            k = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                         name="to_k")(context)
+            v = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                         name="to_v")(context)
         b, sq = q.shape[0], q.shape[1]
         sk = k.shape[1]
         q = q.reshape(b, sq, self.heads, self.dim_head).transpose(0, 2, 1, 3)

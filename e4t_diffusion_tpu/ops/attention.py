@@ -771,8 +771,12 @@ _flash_attention_lowdim_padded.defvjp(_flash_attention_lowdim_fwd,
 
 import os as _os
 
-# 512/512 measured fastest on v5e for the 4096-token UNet sites
-_DEF_BLOCK_Q = int(_os.environ.get("E4T_FLASH_BLOCK_Q", "512"))
+# v5e block sweep on the 4096-token d=40 site (scripts/bench_attention.py,
+# 2026-08-16, relay-sync-corrected): 512/512 5.07 ms -> 1024/1024 4.71 ->
+# 2048/512 4.53 ms/call; 2048/2048 and 4096/1024 overflow VMEM. block_q
+# dominates (fewer grid rows over the resident kv); block_k is neutral
+# 512..2048, so keep 512 for VMEM headroom.
+_DEF_BLOCK_Q = int(_os.environ.get("E4T_FLASH_BLOCK_Q", "2048"))
 _DEF_BLOCK_K = int(_os.environ.get("E4T_FLASH_BLOCK_K", "512"))
 
 

@@ -45,6 +45,10 @@ class E4TTrainConfig:
     train_clip_vision: bool = False   # --unfreeze_clip_vision
     max_grad_norm: Optional[float] = None  # set (1.0) in phase 2
     remat_unet: bool = True
+    # "nothing": rematerialize everything in the backward (lowest HBM).
+    # "dots": save matmul/einsum outputs (the flash-attention custom call
+    # is never saved either way) — less recompute, more activation HBM.
+    remat_policy: str = "nothing"
     grads_bf16: bool = False  # halve gradient HBM (16GB-chip tuning aid)
     # True (default): trace with all-flash attention (flat backward HBM).
     # False: einsum attention everywhere — required under tensor
@@ -126,9 +130,12 @@ def e4t_loss_fn(modules: E4TModules, ddpm: DDPMScheduler,
 
     unet_apply = modules.unet.apply
     if cfg.remat_unet:
+        policy = {
+            "nothing": jax.checkpoint_policies.nothing_saveable,
+            "dots": jax.checkpoint_policies.dots_saveable,
+        }[cfg.remat_policy]
         unet_apply = jax.checkpoint(
-            unet_apply, static_argnums=(4,),
-            policy=jax.checkpoint_policies.nothing_saveable)
+            unet_apply, static_argnums=(4,), policy=policy)
 
     tap = unet_apply({"params": unet_params_eff}, noisy, timesteps,
                      uncond_states, True)

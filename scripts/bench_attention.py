@@ -97,7 +97,7 @@ def main():
             total[impl] += ms * count
     for impl in impls:
         results[f"TOTAL_per_unet_fwd:{impl}"] = round(total[impl], 2)
-    results["blocks"] = (os.environ.get("E4T_FLASH_BLOCK_Q", "512"),
+    results["blocks"] = (os.environ.get("E4T_FLASH_BLOCK_Q", "2048"),
                          os.environ.get("E4T_FLASH_BLOCK_K", "512"))
     print(json.dumps(results))
 

@@ -117,7 +117,7 @@ def main():
             (lats, ctxs))
     if only:
         results["batch"] = batch
-        results["blocks"] = (os.environ.get("E4T_FLASH_BLOCK_Q", "512"),
+        results["blocks"] = (os.environ.get("E4T_FLASH_BLOCK_Q", "2048"),
                              os.environ.get("E4T_FLASH_BLOCK_K", "512"))
         results["threshold"] = os.environ.get("E4T_FLASH_THRESHOLD_BYTES",
                                               "default")
@@ -171,7 +171,7 @@ def main():
         results["unet_fwd_with_tap_ms"] + results["unet_fwd_ms"]
         + results["text_encoder_ms"] + results["e4t_fuse_ms"])
     results["batch"] = batch
-    results["blocks"] = (os.environ.get("E4T_FLASH_BLOCK_Q", "512"),
+    results["blocks"] = (os.environ.get("E4T_FLASH_BLOCK_Q", "2048"),
                          os.environ.get("E4T_FLASH_BLOCK_K", "512"))
     print(json.dumps({k: (round(v, 3) if isinstance(v, float) else v)
                       for k, v in results.items()}))

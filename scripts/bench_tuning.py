@@ -72,7 +72,9 @@ def main():
 
     cfg = E4TTrainConfig(train_unet=True, train_text_encoder=train_text,
                          reg_lambda=1e-4, max_grad_norm=1.0,
-                         grads_bf16=grads_bf16)
+                         grads_bf16=grads_bf16,
+                         remat_policy=os.environ.get("E4T_TUNE_REMAT",
+                                                     "nothing"))
     tx = make_optimizer(1.6e-5, cfg, use_8bit=use_8bit)
     state, frozen = create_train_state(params, cfg, tx)
     # frozen models cast to compute dtype (reference casts frozen to
@@ -96,10 +98,11 @@ def main():
         "class_token_id": jnp.asarray(5, jnp.int32),
     }
 
-    # compile
+    # compile (fetch the scalar: under the axon relay block_until_ready
+    # on a small result can ack before execution — see CLAUDE.md)
     t0 = time.perf_counter()
     state, metrics = step_fn(state, frozen, batch_data, rng)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
     compile_time = time.perf_counter() - t0
     print(f"compile+first step: {compile_time:.1f}s")
 
@@ -107,7 +110,7 @@ def main():
     for i in range(steps - 1):
         state, metrics = step_fn(state, frozen, batch_data,
                                  jax.random.fold_in(rng, i))
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
     run_time = time.perf_counter() - t0
     per_step = run_time / (steps - 1)
     total_30 = per_step * steps

@@ -79,6 +79,12 @@ def parse_args():
                              "(dp, tp) mesh and the UNet attention/FF "
                              "kernels are column/row-sharded over tp "
                              "(beyond reference parity)")
+    parser.add_argument("--remat_policy", type=str, default="nothing",
+                        choices=["nothing", "dots"],
+                        help="UNet rematerialization policy: 'nothing' "
+                             "recomputes everything in the backward "
+                             "(lowest HBM); 'dots' saves matmul outputs "
+                             "(faster backward, more activation HBM)")
     parser.add_argument("--grads_bf16", action="store_true",
                         help="cast gradients to bf16 before the optimizer "
                              "(reduces optimizer-input traffic; note the "
@@ -164,6 +170,7 @@ def main():
         train_clip_vision=args.unfreeze_clip_vision,
         max_grad_norm=args.max_grad_norm,
         grads_bf16=args.grads_bf16,
+        remat_policy=args.remat_policy,
         all_flash=args.tensor_parallel == 1,
     )
     schedule = make_lr_schedule(args.lr_scheduler, learning_rate,
