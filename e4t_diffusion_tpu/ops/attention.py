@@ -612,9 +612,26 @@ def _flash_bwd_resident(q, k, v, g, lse_b, delta_b, scale, block_q, block_k,
     return dq, dk, dv
 
 
+# Backward blocks are clamped independently of the forward: the bwd
+# kernels carry more resident state (q+do+lse+delta on the q side, plus
+# f32 score/ds tiles), so the forward-optimal block_q=2048 overflows the
+# 16MB scoped-VMEM stack (measured: 17.88M at the lane-padded d=128
+# 4096-token site). 512 is the validated training configuration.
+_DEF_BWD_BLOCK_Q = int(
+    __import__("os").environ.get("E4T_FLASH_BWD_BLOCK_Q", "512"))
+_DEF_BWD_BLOCK_K = int(
+    __import__("os").environ.get("E4T_FLASH_BWD_BLOCK_K", "512"))
+
+
 def _flash_bwd(res, g, scale, block_q, block_k):
     q, k, v, out, lse = res
     bh, sq, d = q.shape
+    # sq/sk are padded to multiples of the (larger) forward blocks, so
+    # clamping to a divisor keeps the grids exact
+    if block_q > _DEF_BWD_BLOCK_Q and block_q % _DEF_BWD_BLOCK_Q == 0:
+        block_q = _DEF_BWD_BLOCK_Q
+    if block_k > _DEF_BWD_BLOCK_K and block_k % _DEF_BWD_BLOCK_K == 0:
+        block_k = _DEF_BWD_BLOCK_K
     sk = k.shape[1]
     sk_pad = _round_up(sk, block_k)
     if sk_pad != sk:

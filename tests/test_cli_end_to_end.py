@@ -17,7 +17,12 @@ from e4t_diffusion_tpu.diffusion.pipeline import E4TModules
 from e4t_diffusion_tpu.utils.tokenizer import make_tiny_tokenizer_files
 from test_artifacts import _write_sd_base, tiny_params  # noqa: F401
 
+# E4T_PLATFORM is honored by the CLIs via utils/runtime even on images
+# whose sitecustomize pins the TPU plugin (JAX_PLATFORMS env is silently
+# ignored there — previously these subprocesses actually ran on the TPU
+# and could time out when the chip was busy).
 ENV = {**os.environ, "JAX_PLATFORMS": "cpu",
+       "E4T_PLATFORM": "cpu", "E4T_NUM_CPU_DEVICES": "2",
        "XLA_FLAGS": "--xla_force_host_platform_device_count=2"}
 
 
