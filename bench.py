@@ -34,10 +34,29 @@ def zeros_params(init_fn, *args):
 
 
 def main():
+    import sys
+
+    batch = int(os.environ.get("E4T_BENCH_BATCH", "8"))
+    # the axon relay occasionally enters a degraded state where large
+    # programs fail at runtime with a detail-less RESOURCE_EXHAUSTED
+    # (CLAUDE.md); smaller batches shrink the program and usually still
+    # run, so fall back rather than report nothing
+    ladder = [batch] + [b for b in (4, 2, 1) if b < batch]
+    last_err = None
+    for b in ladder:
+        try:
+            return run_bench(b)
+        except Exception as e:  # jax.errors.JaxRuntimeError and friends
+            last_err = e
+            print(f"[bench] batch {b} failed ({type(e).__name__}: "
+                  f"{str(e)[:200]}); retrying smaller", file=sys.stderr)
+    raise last_err
+
+
+def run_bench(batch: int):
     from e4t_diffusion_tpu.utils.runtime import setup_compilation_cache
 
     setup_compilation_cache()
-    batch = int(os.environ.get("E4T_BENCH_BATCH", "8"))
     steps = int(os.environ.get("E4T_BENCH_STEPS", "50"))
     res = int(os.environ.get("E4T_BENCH_RES", "512"))
     repeats = int(os.environ.get("E4T_BENCH_REPEATS", "3"))
