@@ -79,6 +79,11 @@ def parse_args():
                              "(dp, tp) mesh and the UNet attention/FF "
                              "kernels are column/row-sharded over tp "
                              "(beyond reference parity)")
+    parser.add_argument("--profile_steps", type=int, default=0,
+                        help="capture a jax.profiler trace for steps "
+                             "[2, 2+N) (post-compile)")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="trace output dir (default <output>/profile)")
     parser.add_argument("--remat_policy", type=str, default="nothing",
                         choices=["nothing", "dots"],
                         help="UNet rematerialization policy: 'nothing' "
@@ -254,6 +259,17 @@ def main():
             "uncond_ids": jnp.asarray(sampler.uncond_ids),
             "class_token_id": jnp.asarray(class_token_id, jnp.int32),
         }
+        if args.profile_steps:
+            # post-compile window [2, 2+N): step 0 includes jit
+            if step == 2:
+                profile_dir = args.profile_dir or os.path.join(
+                    args.output_dir, "profile")
+                jax.block_until_ready(state.trainable)
+                jax.profiler.start_trace(profile_dir)
+            elif step == 2 + args.profile_steps:
+                jax.block_until_ready(state.trainable)
+                jax.profiler.stop_trace()
+                print(f"[profiler] trace written")
         state, metrics = step_fn(state, frozen, batch,
                                  jax.random.fold_in(rng, 1 + step))
         if (step + 1) % args.gradient_accumulation_steps == 0:
