@@ -872,6 +872,45 @@ _THRESHOLD_OVERRIDE: list = []
 import contextlib
 
 
+_HEAD_SHARD_CTX: list = []
+
+
+@contextlib.contextmanager
+def head_sharded_attention(mesh, axis: str = "tp"):
+    """Run flash attention under shard_map over ``axis`` (heads sharded)
+    while this context is active.
+
+    A Pallas kernel is a custom call the XLA SPMD partitioner cannot
+    split, so under tensor parallelism a plain flash call would be
+    all-gathered onto every shard. Attention is embarrassingly parallel
+    over heads, so shard_map with the head axis on ``axis`` runs each
+    shard's kernel locally with zero collectives (forward AND backward —
+    custom_vjp composes with shard_map). Falls through to the unsharded
+    call when the head count does not divide the axis size.
+    """
+    _HEAD_SHARD_CTX.append((mesh, axis))
+    try:
+        yield
+    finally:
+        _HEAD_SHARD_CTX.pop()
+
+
+def _maybe_head_sharded_flash(q, k, v, scale):
+    if _HEAD_SHARD_CTX:
+        mesh, axis = _HEAD_SHARD_CTX[-1]
+        size = mesh.shape[axis]
+        if size > 1 and q.shape[1] % size == 0:
+            from jax.sharding import PartitionSpec as P
+
+            spec = P(None, axis, None, None)
+            fn = jax.shard_map(
+                functools.partial(flash_attention, scale=scale),
+                mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+                check_vma=False)
+            return fn(q, k, v)
+    return flash_attention(q, k, v, scale=scale)
+
+
 @contextlib.contextmanager
 def flash_threshold(score_bytes: Optional[int]):
     """Trace-time override of the einsum/flash dispatch threshold.
@@ -915,5 +954,5 @@ def dot_product_attention(
             and score_bytes > threshold
         )
     if use_flash and bias is None and not causal:
-        return flash_attention(q, k, v, scale=scale)
+        return _maybe_head_sharded_flash(q, k, v, scale)
     return einsum_attention(q, k, v, scale=scale, bias=bias, causal=causal)

@@ -207,18 +207,27 @@ def create_train_state(params: Dict, cfg: E4TTrainConfig,
 
 def make_train_step(modules: E4TModules, ddpm: DDPMScheduler,
                     cfg: E4TTrainConfig,
-                    tx: optax.GradientTransformation) -> Callable:
+                    tx: optax.GradientTransformation,
+                    tp_mesh=None) -> Callable:
     """Returns jit-able ``step(state, frozen, batch, rng) ->
     (state, metrics)``. Shard batch over ``dp`` to data-parallelize —
-    gradients are reduced by XLA SPMD automatically."""
+    gradients are reduced by XLA SPMD automatically. Pass the (dp, tp)
+    mesh as ``tp_mesh`` when tensor parallelism is active: flash
+    attention then runs under shard_map with heads sharded over ``tp``
+    (a Pallas custom call is not SPMD-partitionable on its own), so the
+    all-flash trace keeps its flat backward HBM under TP too."""
+    import contextlib
 
     def step(state: TrainState, frozen: Dict, batch: Dict, rng: jax.Array):
-        from e4t_diffusion_tpu.ops.attention import flash_threshold
+        from e4t_diffusion_tpu.ops.attention import (flash_threshold,
+                                                     head_sharded_attention)
 
         rng = jax.random.fold_in(rng, state.step)
+        shard_ctx = (head_sharded_attention(tp_mesh) if tp_mesh is not None
+                     else contextlib.nullcontext())
         # trace the loss with all-flash attention: the einsum path's score
         # tensors inflate peak HBM in the backward pass
-        with flash_threshold(0 if cfg.all_flash else (1 << 62)):
+        with shard_ctx, flash_threshold(0 if cfg.all_flash else (1 << 62)):
             (_, metrics), grads = jax.value_and_grad(
                 lambda t: e4t_loss_fn(modules, ddpm, cfg, t, frozen, batch,
                                       rng),

@@ -213,7 +213,6 @@ def main():
         train_unet=False, train_text_encoder=False,
         train_clip_vision=args.unfreeze_clip_vision,
         max_grad_norm=None,  # pretrain does not clip (reference parity)
-        all_flash=args.tensor_parallel == 1,
     )
     schedule = make_lr_schedule(
         args.lr_scheduler, learning_rate,
@@ -269,8 +268,10 @@ def main():
               f"tp={args.tensor_parallel}")
 
     ddpm = DDPMScheduler(base["schedule_config"])
-    step_fn = jax.jit(make_train_step(modules, ddpm, cfg, tx),
-                      donate_argnums=(0,))
+    step_fn = jax.jit(
+        make_train_step(modules, ddpm, cfg, tx,
+                        tp_mesh=mesh if args.tensor_parallel > 1 else None),
+        donate_argnums=(0,))
 
     prompt_templates = resolve_templates(args.prompt_template)
     if args.prompt_template in ("normal", "face", "art"):

@@ -130,3 +130,32 @@ def test_tp_train_step_matches_replicated(tp_mesh):
     np.testing.assert_allclose(float(metrics["loss"]),
                                float(metrics_ref["loss"]), rtol=2e-4)
     assert np.isfinite(float(metrics["grad_norm"]))
+
+    # all-flash under TP: flash runs head-sharded via shard_map
+    # (make_train_step(tp_mesh=...)); same numerics as the plain step
+    step_hs = jax.jit(make_train_step(modules, DDPMScheduler(), cfg, tx,
+                                      tp_mesh=tp_mesh))
+    with tp_mesh:
+        _, metrics_hs = step_hs(state_tp, frozen_tp, batch_tp,
+                                jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(metrics_hs["loss"]),
+                               float(metrics_ref["loss"]), rtol=2e-4)
+
+
+def test_head_sharded_flash_matches_plain(tp_mesh):
+    from e4t_diffusion_tpu.ops import attention as A
+
+    q = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 256, 40))
+    k = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 256, 40))
+    v = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 256, 40))
+    ref = A.flash_attention(q, k, v)
+    ref_grad = jax.grad(lambda q: A.flash_attention(q, k, v).sum())(q)
+    with tp_mesh, A.head_sharded_attention(tp_mesh):
+        out = jax.jit(lambda q, k, v: A._maybe_head_sharded_flash(
+            q, k, v, 1.0 / np.sqrt(40)))(q, k, v)
+        g = jax.grad(lambda q: A._maybe_head_sharded_flash(
+            q, k, v, 1.0 / np.sqrt(40)).sum())(q)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(ref_grad),
+                               atol=1e-5, rtol=1e-5)

@@ -176,7 +176,6 @@ def main():
         max_grad_norm=args.max_grad_norm,
         grads_bf16=args.grads_bf16,
         remat_policy=args.remat_policy,
-        all_flash=args.tensor_parallel == 1,
     )
     schedule = make_lr_schedule(args.lr_scheduler, learning_rate,
                                 args.lr_warmup_steps * args.gradient_accumulation_steps,
@@ -204,7 +203,11 @@ def main():
               f"tp={args.tensor_parallel}")
 
     ddpm = DDPMScheduler(base["schedule_config"])
-    step_fn = jax.jit(make_train_step(modules, ddpm, cfg, tx), donate_argnums=(0,))
+    step_fn = jax.jit(
+        make_train_step(
+            modules, ddpm, cfg, tx,
+            tp_mesh=pmesh_handle if args.tensor_parallel > 1 else None),
+        donate_argnums=(0,))
 
     # templates
     template_name = args.prompt_template or pretrained_args.prompt_template
