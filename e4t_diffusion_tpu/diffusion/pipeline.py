@@ -92,11 +92,16 @@ def preprocess_image(image) -> np.ndarray:
 
 def make_sample_fn(modules: E4TModules, scheduler, num_inference_steps: int,
                    guidance_scale: float, domain_embed_scale: float,
-                   return_latents: bool = False, eta: float = 0.0):
+                   return_latents: bool = False, eta: float = 0.0,
+                   tp_mesh=None):
     """Build the jit-compiled end-to-end sampling function.
 
     Static: modules, scheduler, step count, guidance, embed scale.
     Traced: all params, latents, pixel values, prompt embeddings.
+    ``tp_mesh``: a (dp, tp) mesh for tensor-parallel serving — UNet
+    params sharded via parallel.mesh.tensor_parallel_specs; flash
+    attention runs head-sharded under shard_map
+    (ops/attention.head_sharded_attention).
     """
     do_cfg = guidance_scale > 1.0
     state0 = scheduler.init(num_inference_steps)
@@ -110,6 +115,20 @@ def make_sample_fn(modules: E4TModules, scheduler, num_inference_steps: int,
     def sample(unet_params, offsets, vae_params, text_params, e4t_params,
                latents, pixel_values, inputs_embeds, placeholder_idx,
                uncond_ids, class_embed, noise_rng):
+        import contextlib
+
+        from e4t_diffusion_tpu.ops.attention import head_sharded_attention
+
+        with (head_sharded_attention(tp_mesh) if tp_mesh is not None
+              else contextlib.nullcontext()):
+            return _sample_body(
+                unet_params, offsets, vae_params, text_params, e4t_params,
+                latents, pixel_values, inputs_embeds, placeholder_idx,
+                uncond_ids, class_embed, noise_rng)
+
+    def _sample_body(unet_params, offsets, vae_params, text_params,
+                     e4t_params, latents, pixel_values, inputs_embeds,
+                     placeholder_idx, uncond_ids, class_embed, noise_rng):
         # ---- hoisted (once per sampling run) --------------------------
         if hasattr(scheduler, "init_noise_sigma"):
             latents = latents * scheduler.init_noise_sigma(state0).astype(
@@ -201,9 +220,11 @@ class StableDiffusionE4TPipeline:
 
     def __init__(self, modules: E4TModules, params: dict, tokenizer,
                  e4t_config, scheduler=None,
-                 already_added_placeholder_token: bool = False):
+                 already_added_placeholder_token: bool = False,
+                 tp_mesh=None):
         self.modules = modules
         self.params = params  # {"unet","offsets","vae","text","e4t"}
+        self.tp_mesh = tp_mesh  # (dp, tp) mesh for tensor-parallel serving
         self.tokenizer = tokenizer
         self.e4t_config = e4t_config
         self.scheduler = scheduler or DDIMScheduler(NoiseScheduleConfig())
@@ -281,7 +302,8 @@ class StableDiffusionE4TPipeline:
         if key not in self._fn_cache:
             self._fn_cache[key] = make_sample_fn(
                 modules, scheduler, num_inference_steps, guidance_scale, des,
-                return_latents=(output_type == "latent"), eta=eta)
+                return_latents=(output_type == "latent"), eta=eta,
+                tp_mesh=self.tp_mesh)
         fn = self._fn_cache[key]
 
         text_params = self.params["text"]

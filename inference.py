@@ -59,6 +59,11 @@ def parse_args():
     parser.add_argument("--dtype", type=str, default="auto",
                         choices=["auto", "bf16", "fp32"],
                         help="compute dtype (auto = bf16 on TPU)")
+    parser.add_argument("--tensor_parallel", type=int, default=1,
+                        help="tensor-parallel serving degree: UNet "
+                             "kernels sharded over a tp mesh axis, flash "
+                             "attention head-sharded via shard_map "
+                             "(beyond reference parity)")
     parser.add_argument("--output", type=str, default="grid.png")
     return parser.parse_args()
 
@@ -104,9 +109,17 @@ def main():
     }
     scheduler = SCHEDULER_MAPPING[args.scheduler_type](
         base["schedule_config"])
+    tp_mesh = None
+    if args.tensor_parallel > 1:
+        from e4t_diffusion_tpu.parallel import mesh as pmesh
+
+        tp_mesh = pmesh.get_mesh(tp=args.tensor_parallel)
+        params["unet"] = pmesh.apply_tensor_parallel(params["unet"], tp_mesh)
+        print(f"tensor-parallel serving: UNet kernels sharded over "
+              f"tp={args.tensor_parallel}")
     pipe = StableDiffusionE4TPipeline(
         modules, params, tokenizer, e4t_config, scheduler=scheduler,
-        already_added_placeholder_token=True)
+        already_added_placeholder_token=True, tp_mesh=tp_mesh)
     print("loaded pipeline")
 
     image = load_image(args.image_path_or_url)

@@ -142,6 +142,56 @@ def test_tp_train_step_matches_replicated(tp_mesh):
                                float(metrics_ref["loss"]), rtol=2e-4)
 
 
+def test_tp_sampling_matches_replicated(tp_mesh):
+    """Tensor-parallel serving: make_sample_fn(tp_mesh=...) with
+    TP-sharded UNet params reproduces the replicated sampler, with the
+    flash path forced so head-sharded shard_map is genuinely used."""
+    from e4t_diffusion_tpu.diffusion.pipeline import (E4TModules,
+                                                      make_sample_fn)
+    from e4t_diffusion_tpu.diffusion.schedulers import (DDIMScheduler,
+                                                        NoiseScheduleConfig)
+    from e4t_diffusion_tpu.models import weight_offsets as wo
+    from e4t_diffusion_tpu.ops import attention as A
+
+    modules = E4TModules.tiny()
+    rng = jax.random.PRNGKey(0)
+    ks = jax.random.split(rng, 6)
+    tcfg = modules.text_encoder.config
+    ecfg = modules.e4t_encoder.config
+    L = tcfg.max_position_embeddings
+    unet_params = modules.unet.init(
+        ks[0], jnp.zeros((1, 4, 8, 8)), jnp.array([0]),
+        jnp.zeros((1, L, tcfg.hidden_size)))["params"]
+    vae_params = modules.vae.init(ks[1], jnp.zeros((1, 3, 32, 32)),
+                                  ks[1])["params"]
+    text_params = modules.text_encoder.init(
+        ks[2], jnp.zeros((1, L), jnp.int32))["params"]
+    e4t_params = modules.e4t_encoder.init(
+        ks[3], jnp.zeros((1, 3, 32, 32)),
+        jnp.zeros((1, ecfg.unet_feature_dim)))["params"]
+    offsets = wo.init_offset_bank(ks[4], modules.unet.config)
+
+    sched = DDIMScheduler(NoiseScheduleConfig())
+    latents = jax.random.normal(ks[5], (2, 4, 8, 8))
+    pixel = jnp.zeros((1, 3, 32, 32))
+    embeds = jnp.zeros((1, L, tcfg.hidden_size))
+    call_args = (offsets, vae_params, text_params, e4t_params,
+                 latents, pixel, embeds, jnp.full((2,), 3, jnp.int32),
+                 jnp.zeros((1, L), jnp.int32),
+                 jnp.zeros((tcfg.hidden_size,)), jax.random.PRNGKey(7))
+
+    with A.flash_threshold(0):  # force flash everywhere (trace-time)
+        fn_ref = make_sample_fn(modules, sched, 3, 7.5, 0.1)
+        ref = np.asarray(fn_ref(unet_params, *call_args))
+
+        unet_tp = pmesh.apply_tensor_parallel(unet_params, tp_mesh)
+        fn_tp = make_sample_fn(modules, sched, 3, 7.5, 0.1,
+                               tp_mesh=tp_mesh)
+        with tp_mesh:
+            out = np.asarray(fn_tp(unet_tp, *call_args))
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
+
+
 def test_head_sharded_flash_matches_plain(tp_mesh):
     from e4t_diffusion_tpu.ops import attention as A
 
