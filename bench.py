@@ -45,15 +45,20 @@ def main():
     last_err = None
     for b in ladder:
         try:
-            return run_bench(b)
-        except Exception as e:  # jax.errors.JaxRuntimeError and friends
+            return run_bench(b, fallback=(b != batch))
+        except Exception as e:
+            # Only the degraded-relay OOM mode warrants a smaller retry;
+            # any other failure is a code regression and each retry costs
+            # a full ~8-min compile — surface it immediately.
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
             last_err = e
-            print(f"[bench] batch {b} failed ({type(e).__name__}: "
-                  f"{str(e)[:200]}); retrying smaller", file=sys.stderr)
+            print(f"[bench] batch {b} hit RESOURCE_EXHAUSTED "
+                  f"({str(e)[:200]}); retrying smaller", file=sys.stderr)
     raise last_err
 
 
-def run_bench(batch: int):
+def run_bench(batch: int, fallback: bool = False):
     from e4t_diffusion_tpu.utils.runtime import setup_compilation_cache
 
     setup_compilation_cache()
@@ -138,7 +143,10 @@ def run_bench(batch: int):
         "unit": "images/sec/chip",
         "vs_baseline": round((img_per_sec / n_chips)
                              / A100_REFERENCE_IMG_PER_SEC, 3),
+        "batch": batch,
     }
+    if fallback:  # a smaller batch than requested ran (degraded-env ladder)
+        result["batch_fallback"] = True
     print(json.dumps(result))
 
 

@@ -219,6 +219,15 @@ class StableUnCLIPImg2ImgPipeline:
         arr = np.asarray(image).astype(np.float32) / 255.0
         if arr.ndim == 3:
             arr = arr[None]
+        # Center-crop to square before the CLIP resize: diffusers'
+        # CLIPImageProcessor resizes the shortest side then center-crops,
+        # so a straight anisotropic resize of a non-square input would
+        # diverge from StableUnCLIPImg2ImgPipeline preprocessing.
+        ih, iw = arr.shape[1:3]
+        if ih != iw:
+            s = min(ih, iw)
+            y0, x0 = (ih - s) // 2, (iw - s) // 2
+            arr = arr[:, y0:y0 + s, x0:x0 + s]
         pixels = jnp.asarray(arr.transpose(0, 3, 1, 2) * 2.0 - 1.0)
         clip_pixels = clip_preprocess(
             pixels, modules.image_encoder.config.vision.image_size)

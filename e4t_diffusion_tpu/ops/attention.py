@@ -902,7 +902,18 @@ def _maybe_head_sharded_flash(q, k, v, scale):
         if size > 1 and q.shape[1] % size == 0:
             from jax.sharding import PartitionSpec as P
 
-            spec = P(None, axis, None, None)
+            # Shard the batch dim over the data axis too: in training the
+            # batch IS dp-sharded, and a P(None, tp, ...) in_spec would
+            # force an all-gather of q/k/v over dp with every dp group
+            # redundantly computing global-batch attention (dp× FLOPs and
+            # activation HBM inside the remat'd backward). With the batch
+            # axis in the spec each (dp, tp) shard handles only its own
+            # batch slice — zero collectives on the dp-sharded path.
+            batch_axis = next(
+                (a for a in mesh.shape
+                 if a != axis and mesh.shape[a] > 1
+                 and q.shape[0] % mesh.shape[a] == 0), None)
+            spec = P(batch_axis, axis, None, None)
             fn = jax.shard_map(
                 functools.partial(flash_attention, scale=scale),
                 mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,

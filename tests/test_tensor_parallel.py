@@ -209,3 +209,29 @@ def test_head_sharded_flash_matches_plain(tp_mesh):
                                atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(g), np.asarray(ref_grad),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_head_sharded_flash_dp_sharded_batch(tp_mesh):
+    """With the batch dp-sharded (training layout), the flash shard_map
+    must keep the batch dim on dp — no all-gather of q/k/v, no redundant
+    global-batch attention per dp group (ADVICE r1, medium)."""
+    from e4t_diffusion_tpu.ops import attention as A
+
+    q = jax.random.normal(jax.random.PRNGKey(0), (4, 4, 256, 40))
+    k = jax.random.normal(jax.random.PRNGKey(1), (4, 4, 256, 40))
+    v = jax.random.normal(jax.random.PRNGKey(2), (4, 4, 256, 40))
+    ref = A.flash_attention(q, k, v)
+    shd = NamedSharding(tp_mesh, P("dp"))
+    qs, ks, vs = (jax.device_put(x, shd) for x in (q, k, v))
+    with tp_mesh, A.head_sharded_attention(tp_mesh):
+        out = jax.jit(lambda q, k, v: A._maybe_head_sharded_flash(
+            q, k, v, 1.0 / np.sqrt(40)))(qs, ks, vs)
+        g = jax.grad(lambda q: A._maybe_head_sharded_flash(
+            q, k, v, 1.0 / np.sqrt(40)).sum())(qs)
+    # batch dim stays sharded over dp end to end
+    assert out.sharding.spec[0] == "dp", out.sharding.spec
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+    ref_grad = jax.grad(lambda q: A.flash_attention(q, k, v).sum())(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(ref_grad),
+                               atol=1e-5, rtol=1e-5)

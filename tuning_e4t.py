@@ -252,6 +252,7 @@ def main():
     progress = tqdm(range(args.max_train_steps), desc="Steps")
     t0 = time.perf_counter()
     global_step = 0
+    trace_active = False
     for step in range(args.max_train_steps * args.gradient_accumulation_steps):
         input_ids, ph_idx = sampler.sample(args.train_batch_size)
         batch = {
@@ -269,9 +270,11 @@ def main():
                     args.output_dir, "profile")
                 jax.block_until_ready(state.trainable)
                 jax.profiler.start_trace(profile_dir)
+                trace_active = True
             elif step == 2 + args.profile_steps:
                 jax.block_until_ready(state.trainable)
                 jax.profiler.stop_trace()
+                trace_active = False
                 print(f"[profiler] trace written")
         state, metrics = step_fn(state, frozen, batch,
                                  jax.random.fold_in(rng, 1 + step))
@@ -287,6 +290,9 @@ def main():
             if global_step % args.checkpointing_steps == 0:
                 save_weights(global_step)
     jax.block_until_ready(state.trainable)
+    if trace_active:  # window extended past the loop end — flush it
+        jax.profiler.stop_trace()
+        print("[profiler] trace written (window clamped to loop end)")
     wall = time.perf_counter() - t0
     print(f"Training wall-clock: {wall:.2f}s "
           f"({args.max_train_steps} steps incl. compile)")
