@@ -220,20 +220,28 @@ class E4TDataLoader:
                  process_index: Optional[int] = None,
                  process_count: Optional[int] = None,
                  shuffle_buffer: int = 1000,
-                 prefetch: int = 2):
+                 prefetch: int = 2,
+                 num_workers: int = 0):
         import jax
 
         self.source = source
         self.batch_size = batch_size
-        self.transform = None
-        if os.environ.get("E4T_DISABLE_NATIVE", "0") != "1":
-            from e4t_diffusion_tpu.data import native_ops
 
-            if native_ops.available():
-                self.transform = native_ops.make_native_transform(
-                    resolution, random_crop, seed=seed)
-        if self.transform is None:
-            self.transform = make_transform(resolution, random_crop, seed=seed)
+        def transform_factory(worker_seed: int):
+            if os.environ.get("E4T_DISABLE_NATIVE", "0") != "1":
+                from e4t_diffusion_tpu.data import native_ops
+
+                if native_ops.available():
+                    return native_ops.make_native_transform(
+                        resolution, random_crop, seed=worker_seed)
+            return make_transform(resolution, random_crop, seed=worker_seed)
+
+        self._transform_factory = transform_factory
+        self.transform = transform_factory(seed)
+        # decode+transform thread pool size; 0/1 = single prefetch thread
+        # (deterministic sample order). PIL JPEG decode and cv2 resize both
+        # release the GIL, so threads scale the host pipeline.
+        self.num_workers = num_workers
         self.seed = seed
         self.use_tar = use_tar or ".tar" in source
         self.streaming = streaming
@@ -247,12 +255,15 @@ class E4TDataLoader:
         if self.use_tar:
             self.num_samples, self.num_shards = get_dataset_size(source)
 
-    def _image_iter(self) -> Iterator[np.ndarray]:
+    def _raw_iter(self):
+        """Yields zero-arg decode thunks (callables -> HWC uint8 RGB) so
+        the expensive decode can run on worker threads."""
         if self.use_tar:
             shards = expand_shards(self.source)
             it = iter_tar_shards(shards, self.process_index,
                                  self.process_count, self.seed)
-            yield from _shuffled(it, self.shuffle_buffer, self.seed)
+            for img in _shuffled(it, self.shuffle_buffer, self.seed):
+                yield lambda img=img: img
         elif (os.path.isdir(self.source.split("::")[0])):
             files: List[str] = []
             for name in self.source.split("::"):
@@ -262,10 +273,7 @@ class E4TDataLoader:
             rng = np.random.default_rng(self.seed)
             while True:
                 for i in rng.permutation(len(files)):
-                    try:
-                        yield load_image_rgb(files[int(i)])
-                    except Exception as e:
-                        print(f"[data] skipping {files[int(i)]}: {e}")
+                    yield lambda p=files[int(i)]: load_image_rgb(p)
         else:
             from datasets import load_dataset
 
@@ -275,13 +283,22 @@ class E4TDataLoader:
                 ds = ds.shuffle(seed=self.seed, buffer_size=10000)
                 while True:
                     for ex in ds:
-                        yield np.asarray(ex["image"].convert("RGB"))
+                        yield lambda ex=ex: np.asarray(
+                            ex["image"].convert("RGB"))
             else:
                 self.num_samples = len(ds)
                 rng = np.random.default_rng(self.seed)
                 while True:
                     for i in rng.permutation(len(ds)):
-                        yield np.asarray(ds[int(i)]["image"].convert("RGB"))
+                        yield lambda i=int(i): np.asarray(
+                            ds[i]["image"].convert("RGB"))
+
+    def _image_iter(self) -> Iterator[np.ndarray]:
+        for thunk in self._raw_iter():
+            try:
+                yield thunk()
+            except Exception as e:
+                print(f"[data] skipping sample: {e}")
 
     def _batch_iter(self) -> Iterator[Dict[str, np.ndarray]]:
         batch = []
@@ -292,6 +309,11 @@ class E4TDataLoader:
                 batch = []
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if self.num_workers and self.num_workers > 1:
+            return self._iter_threaded()
+        return self._iter_prefetch()
+
+    def _iter_prefetch(self) -> Iterator[Dict[str, np.ndarray]]:
         """Background-thread prefetch so host decode overlaps device step."""
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
@@ -315,3 +337,79 @@ class E4TDataLoader:
                 yield b
         finally:
             stop.set()
+
+    def _iter_threaded(self) -> Iterator[Dict[str, np.ndarray]]:
+        """N decode+transform workers feeding a batcher. Sample order is
+        completion order (nondeterministic across runs); each worker gets
+        its own transform instance/rng (per-worker fold of the seed) so
+        augmentation streams never share unsynchronized state."""
+        n = self.num_workers
+        thunk_q: "queue.Queue" = queue.Queue(maxsize=4 * n)
+        out_q: "queue.Queue" = queue.Queue(
+            maxsize=max(2 * self.batch_size, self.prefetch * self.batch_size,
+                        n + 1))
+        stop = threading.Event()
+
+        def _put(q, item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def feeder():
+            try:
+                for thunk in self._raw_iter():
+                    if not _put(thunk_q, thunk):
+                        return
+            finally:
+                for _ in range(n):
+                    _put(thunk_q, None)
+
+        def worker(widx: int):
+            transform = self._transform_factory(self.seed + 1000 * (widx + 1))
+            try:
+                while not stop.is_set():
+                    try:
+                        thunk = thunk_q.get(timeout=0.2)
+                    except queue.Empty:
+                        continue
+                    if thunk is None:
+                        return
+                    try:
+                        item = transform(thunk())
+                    except Exception as e:
+                        print(f"[data] skipping sample: {e}")
+                        continue
+                    if not _put(out_q, item):
+                        return
+            finally:
+                out_q.put(None)
+
+        threads = [threading.Thread(target=feeder, daemon=True)]
+        threads += [threading.Thread(target=worker, args=(i,), daemon=True)
+                    for i in range(n)]
+        for t in threads:
+            t.start()
+        done_workers = 0
+        batch: List[np.ndarray] = []
+        try:
+            while done_workers < n:
+                item = out_q.get()
+                if item is None:
+                    done_workers += 1
+                    continue
+                batch.append(item)
+                if len(batch) == self.batch_size:
+                    yield {"pixel_values": np.stack(batch)}
+                    batch = []
+        finally:
+            stop.set()
+            # unblock any worker parked on a full queue
+            try:
+                while True:
+                    out_q.get_nowait()
+            except queue.Empty:
+                pass

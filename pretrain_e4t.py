@@ -248,7 +248,8 @@ def main():
         args.train_image_dataset, batch_size=args.train_batch_size,
         resolution=args.resolution, random_crop=True,
         seed=args.seed + global_step, use_tar=args.webdataset,
-        streaming=args.iterable_dataset)
+        streaming=args.iterable_dataset,
+        num_workers=args.dataloader_num_workers)
     if loader.num_samples:
         print(f"dataset size: {loader.num_samples}")
 
