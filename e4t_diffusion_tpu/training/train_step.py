@@ -56,6 +56,13 @@ class E4TTrainConfig:
     # natively but cannot partition the Pallas custom call; the score
     # tensors are then sharded over tp, so the memory penalty divides.
     all_flash: bool = True
+    # >1: split the in-step batch into this many sequential micro-batches
+    # (lax.scan over the grad computation, f32 grad accumulator). Unlike
+    # optax MultiSteps accumulation this adds NO persistent optimizer
+    # state — activation peak is one micro-batch, grad peak one f32
+    # accumulator + one live grad — so effective batch 16 fits a single
+    # 16GB v5e where MultiSteps would not.
+    micro_batches: int = 1
 
 
 def split_trainable(params: Dict, cfg: E4TTrainConfig):
@@ -205,6 +212,49 @@ def create_train_state(params: Dict, cfg: E4TTrainConfig,
     ), frozen
 
 
+def _microbatched_grads(modules: E4TModules, ddpm: DDPMScheduler,
+                        cfg: E4TTrainConfig, trainable: Dict, frozen: Dict,
+                        batch: Dict, rng: jax.Array):
+    """Sequential lax.scan over micro-batches: per chunk one value_and_grad
+    (remat'd UNet), accumulated into a single f32 grad tree. Loss/metrics
+    are means of per-chunk means (equal chunk sizes), matching one big
+    batch statistically; each chunk folds its index into the step rng so
+    noise/timesteps differ per chunk like they would per sample."""
+    mb = cfg.micro_batches
+    bsz = batch["input_ids"].shape[0]
+    assert bsz % mb == 0, (bsz, mb)
+    csz = bsz // mb
+    split_keys = [k for k in ("latents", "pixel_values", "input_ids",
+                              "placeholder_idx")
+                  if batch.get(k) is not None]
+    stacked = {k: batch[k].reshape(mb, csz, *batch[k].shape[1:])
+               for k in split_keys}
+    rest = {k: v for k, v in batch.items() if k not in split_keys}
+
+    def body(carry, xs):
+        idx, chunk = xs
+        chunk_batch = dict(rest, **chunk)
+        (_, m), g = jax.value_and_grad(
+            lambda t: e4t_loss_fn(modules, ddpm, cfg, t, frozen, chunk_batch,
+                                  jax.random.fold_in(rng, idx)),
+            has_aux=True)(trainable)
+        acc_g, acc_m = carry
+        acc_g = jax.tree_util.tree_map(
+            lambda a, b: a + b.astype(jnp.float32) / mb, acc_g, g)
+        acc_m = jax.tree_util.tree_map(lambda a, b: a + b / mb, acc_m, m)
+        return (acc_g, acc_m), None
+
+    zero_g = jax.tree_util.tree_map(
+        lambda x: jnp.zeros(x.shape, jnp.float32), trainable)
+    zero_m = {k: jnp.zeros((), jnp.float32)
+              for k in ("loss", "loss_diff", "loss_reg")}
+    (grads, metrics), _ = jax.lax.scan(
+        body, (zero_g, zero_m), (jnp.arange(mb), stacked))
+    grads = jax.tree_util.tree_map(
+        lambda g, t: g.astype(t.dtype), grads, trainable)
+    return grads, metrics
+
+
 def make_train_step(modules: E4TModules, ddpm: DDPMScheduler,
                     cfg: E4TTrainConfig,
                     tx: optax.GradientTransformation,
@@ -228,10 +278,14 @@ def make_train_step(modules: E4TModules, ddpm: DDPMScheduler,
         # trace the loss with all-flash attention: the einsum path's score
         # tensors inflate peak HBM in the backward pass
         with shard_ctx, flash_threshold(0 if cfg.all_flash else (1 << 62)):
-            (_, metrics), grads = jax.value_and_grad(
-                lambda t: e4t_loss_fn(modules, ddpm, cfg, t, frozen, batch,
-                                      rng),
-                has_aux=True)(state.trainable)
+            if cfg.micro_batches <= 1:
+                (_, metrics), grads = jax.value_and_grad(
+                    lambda t: e4t_loss_fn(modules, ddpm, cfg, t, frozen,
+                                          batch, rng),
+                    has_aux=True)(state.trainable)
+            else:
+                grads, metrics = _microbatched_grads(
+                    modules, ddpm, cfg, state.trainable, frozen, batch, rng)
         if cfg.grads_bf16:
             # halves peak gradient HBM; Adam math still runs in f32
             grads = jax.tree_util.tree_map(

@@ -37,6 +37,7 @@ def main():
     res = int(os.environ.get("E4T_PRE_RES", "512"))
     use_8bit = os.environ.get("E4T_PRE_8BIT", "1") == "1"
     unfreeze_vit = os.environ.get("E4T_PRE_UNFREEZE_VIT", "0") == "1"
+    micro = int(os.environ.get("E4T_PRE_MICRO", "1"))
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
     from e4t_diffusion_tpu.diffusion.pipeline import E4TModules
@@ -69,7 +70,8 @@ def main():
     # phase 1: train_unet=False, no clipping (reference parity)
     cfg = E4TTrainConfig(train_unet=False, train_text_encoder=False,
                          train_clip_vision=unfreeze_vit,
-                         reg_lambda=0.01, max_grad_norm=None)
+                         reg_lambda=0.01, max_grad_norm=None,
+                         micro_batches=micro)
     tx = make_optimizer(1.6e-5, cfg, use_8bit=use_8bit)
     state, frozen = create_train_state(params, cfg, tx)
     frozen = jax.tree_util.tree_map(
@@ -112,6 +114,7 @@ def main():
         "unit": "images/sec/chip",
         "per_step_s": round(per_step, 3),
         "compile_s": round(compile_time, 1),
+        "micro_batches": micro,
     }))
 
 

@@ -155,3 +155,68 @@ def test_data_parallel_step_on_8_device_mesh(tiny_world):
         state, frozen, batch, jax.random.PRNGKey(1))
     np.testing.assert_allclose(float(metrics["loss"]),
                                float(metrics_ref["loss"]), rtol=1e-4)
+
+
+def test_microbatched_step_matches_manual_chunk_average(tiny_world):
+    """micro_batches=2: the accumulated grads equal the mean of per-chunk
+    value_and_grad calls under the same rng folding, and the full step
+    (optimizer included) matches a step driven by those manual grads."""
+    from e4t_diffusion_tpu.training.train_step import (_microbatched_grads,
+                                                       e4t_loss_fn)
+
+    modules, params = tiny_world
+    cfg = E4TTrainConfig(train_unet=True, max_grad_norm=1.0,
+                         reg_lambda=1e-4, micro_batches=2)
+    tx = make_optimizer(1e-4, cfg)
+    state, frozen = create_train_state(params, cfg, tx)
+    batch = _make_batch(modules, params, 4)
+    rng = jax.random.PRNGKey(7)
+
+    # manual reference: two chunks of 2, grads averaged
+    step_rng = jax.random.fold_in(rng, state.step)
+    manual = None
+    for idx in range(2):
+        chunk = {k: (v[2 * idx:2 * idx + 2]
+                     if k in ("latents", "pixel_values", "input_ids",
+                              "placeholder_idx") else v)
+                 for k, v in batch.items()}
+        g = jax.grad(
+            lambda t: e4t_loss_fn(modules, ddpm := DDPMScheduler(), cfg, t,
+                                  frozen, chunk,
+                                  jax.random.fold_in(step_rng, idx))[0]
+        )(state.trainable)
+        manual = g if manual is None else jax.tree_util.tree_map(
+            lambda a, b: a + b, manual, g)
+    manual = jax.tree_util.tree_map(lambda x: x / 2, manual)
+
+    from e4t_diffusion_tpu.ops.attention import flash_threshold
+    with flash_threshold(0 if cfg.all_flash else (1 << 62)):
+        grads, metrics = _microbatched_grads(
+            modules, DDPMScheduler(), cfg, state.trainable, frozen, batch,
+            step_rng)
+    flat_a = jax.tree_util.tree_leaves(grads)
+    flat_b = jax.tree_util.tree_leaves(manual)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+    assert np.isfinite(float(metrics["loss"]))
+
+    # and the jitted end-to-end step runs and updates the UNet
+    step = jax.jit(make_train_step(modules, DDPMScheduler(), cfg, tx))
+    state2, m2 = step(state, frozen, batch, rng)
+    assert np.isfinite(float(m2["loss"]))
+    assert _changed(state.trainable["unet"], state2.trainable["unet"])
+
+
+def test_microbatched_pretrain_step_without_latents(tiny_world):
+    """Phase-1 path (per-step VAE encode, latents=None) under
+    micro_batches=2."""
+    modules, params = tiny_world
+    cfg = E4TTrainConfig(micro_batches=2)
+    tx = make_optimizer(1e-3, cfg)
+    state, frozen = create_train_state(params, cfg, tx)
+    batch = dict(_make_batch(modules, params, 4), latents=None)
+    step = jax.jit(make_train_step(modules, DDPMScheduler(), cfg, tx))
+    state2, metrics = step(state, frozen, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss"]))
+    assert _changed(state.trainable["offsets"], state2.trainable["offsets"])
