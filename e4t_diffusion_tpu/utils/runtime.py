@@ -37,5 +37,20 @@ def setup_compilation_cache(path: str | None = None) -> None:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+        if os.environ.get("E4T_FULL_TRACEBACK_LOCS", "0") != "1":
+            # Without this, ANY source-line shift anywhere in the Python
+            # call stack invalidates every cached executable containing a
+            # Pallas kernel: Mosaic serializes its kernel module with
+            # per-op locations that embed the FULL user traceback
+            # (attention.py AND its callers), and that payload sits inside
+            # the custom-call backend_config where the cache key's
+            # strip-debuginfo pass cannot reach (jax cache_key.py). With
+            # the limit at 0, measured payload hashes are identical under
+            # line shifts in both the kernel module and its callers, so
+            # the 8-17 min full-size recompiles only happen when the
+            # traced computation actually changes. Costs per-op Python
+            # source attribution in XLA dumps; set
+            # E4T_FULL_TRACEBACK_LOCS=1 when debugging Mosaic failures.
+            jax.config.update("jax_traceback_in_locations_limit", 0)
     except Exception as e:  # cache is best-effort
         print(f"[runtime] compilation cache disabled: {e}")

@@ -41,6 +41,7 @@ def main():
     use_8bit = os.environ.get("E4T_TUNE_8BIT", "1") == "1"
     train_text = os.environ.get("E4T_TUNE_TEXT", "0") == "1"
     grads_bf16 = os.environ.get("E4T_TUNE_BF16_GRADS", "0") == "1"
+    micro = int(os.environ.get("E4T_TUNE_MICRO", "1"))
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
     from e4t_diffusion_tpu.diffusion.pipeline import E4TModules
@@ -72,7 +73,7 @@ def main():
 
     cfg = E4TTrainConfig(train_unet=True, train_text_encoder=train_text,
                          reg_lambda=1e-4, max_grad_norm=1.0,
-                         grads_bf16=grads_bf16,
+                         grads_bf16=grads_bf16, micro_batches=micro,
                          remat_policy=os.environ.get("E4T_TUNE_REMAT",
                                                      "nothing"))
     tx = make_optimizer(1.6e-5, cfg, use_8bit=use_8bit)
@@ -121,6 +122,8 @@ def main():
         "per_step_s": round(per_step, 3),
         "compile_s": round(compile_time, 1),
         "vs_baseline": round(30.0 / total_30, 3),  # target: <30 s
+        "micro_batches": micro,
+        "effective_batch": batch,
     }))
 
 
