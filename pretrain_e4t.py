@@ -79,6 +79,11 @@ def parse_args():
     parser.add_argument("--resolution", type=int, default=512)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    parser.add_argument("--micro_batches", type=int, default=1,
+                        help="split each step's batch into N sequential "
+                             "micro-batches inside one jit (in-step grad "
+                             "accumulation with no extra optimizer state; "
+                             "effective batch stays train_batch_size)")
     parser.add_argument("--max_grad_norm", default=1.0, type=float,
                         help="parity flag; pretrain does not clip "
                              "(reference has it commented out)")
@@ -213,6 +218,7 @@ def main():
         train_unet=False, train_text_encoder=False,
         train_clip_vision=args.unfreeze_clip_vision,
         max_grad_norm=None,  # pretrain does not clip (reference parity)
+        micro_batches=args.micro_batches,
     )
     schedule = make_lr_schedule(
         args.lr_scheduler, learning_rate,

@@ -63,6 +63,11 @@ def parse_args():
     parser.add_argument("--resolution", type=int, default=512)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    parser.add_argument("--micro_batches", type=int, default=1,
+                        help="split each step's batch into N sequential "
+                             "micro-batches inside one jit (in-step grad "
+                             "accumulation with no extra optimizer state; "
+                             "effective batch stays train_batch_size)")
     parser.add_argument("--max_grad_norm", default=1.0, type=float)
     parser.add_argument("--learning_rate", type=float, default=1.6e-5)
     parser.add_argument("--scale_lr", action="store_true", default=False)
@@ -176,6 +181,7 @@ def main():
         max_grad_norm=args.max_grad_norm,
         grads_bf16=args.grads_bf16,
         remat_policy=args.remat_policy,
+        micro_batches=args.micro_batches,
     )
     schedule = make_lr_schedule(args.lr_scheduler, learning_rate,
                                 args.lr_warmup_steps * args.gradient_accumulation_steps,
