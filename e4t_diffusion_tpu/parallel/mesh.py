@@ -23,15 +23,31 @@ TENSOR_AXIS = "tp"
 def maybe_initialize_distributed() -> None:
     """Multi-host bootstrap over DCN (jax.distributed) when launched under a
     multi-process coordinator; single-process runs are a no-op. Replaces
-    `accelerate launch`'s process-group init (/root/reference/README.md:34)."""
+    `accelerate launch`'s process-group init (/root/reference/README.md:34).
+
+    On Cloud TPU / Slurm / MPI the cluster is auto-detected by
+    jax.distributed.initialize(); for manual launches export
+    JAX_COORDINATOR_ADDRESS plus JAX_NUM_PROCESSES and JAX_PROCESS_ID and
+    they are passed through explicitly (jax's auto-detection does not read
+    the process-count/id pair from the environment on bare hosts).
+    Exercised for real by tests/test_distributed.py: two CPU processes
+    forming one 4-device mesh with cross-process gradient reduction."""
     import os
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
-            "COORDINATOR_ADDRESS"):
-        try:
-            jax.distributed.initialize()
-        except Exception as e:  # already initialized or single-host
-            print(f"[mesh] jax.distributed.initialize skipped: {e}")
+    addr = (os.environ.get("JAX_COORDINATOR_ADDRESS")
+            or os.environ.get("COORDINATOR_ADDRESS"))
+    if not addr:
+        return
+    kwargs = {}
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    if nproc is not None and pid is not None:
+        kwargs = dict(coordinator_address=addr, num_processes=int(nproc),
+                      process_id=int(pid))
+    try:
+        jax.distributed.initialize(**kwargs)
+    except Exception as e:  # already initialized or single-host
+        print(f"[mesh] jax.distributed.initialize skipped: {e}")
 
 
 def get_mesh(num_devices: Optional[int] = None, tp: int = 1) -> Mesh:
