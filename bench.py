@@ -100,8 +100,10 @@ def run_bench(batch: int, fallback: bool = False):
         lambda k: wo.init_offset_bank(k, modules.unet.config), rng))
 
     scheduler = DDIMScheduler(NoiseScheduleConfig())
+    int8 = os.environ.get("E4T_BENCH_INT8", "0") == "1"
     fn = make_sample_fn(modules, scheduler, num_inference_steps=steps,
-                        guidance_scale=7.5, domain_embed_scale=0.1)
+                        guidance_scale=7.5, domain_embed_scale=0.1,
+                        int8=int8)
 
     latents = jax.random.normal(rng, (batch, 4, res // 8, res // 8), dtype)
     pixel = jnp.zeros((1, 3, res, res), dtype)
@@ -138,7 +140,9 @@ def run_bench(batch: int, fallback: bool = False):
 
     n_chips = jax.device_count()
     result = {
-        "metric": f"e4t_inference_{res}px_ddim{steps}_images_per_sec_per_chip",
+        "metric": (f"e4t_inference_{res}px_ddim{steps}_int8_images"
+                   f"_per_sec_per_chip" if int8 else
+                   f"e4t_inference_{res}px_ddim{steps}_images_per_sec_per_chip"),
         "value": round(img_per_sec / n_chips, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round((img_per_sec / n_chips)

@@ -93,7 +93,7 @@ def preprocess_image(image) -> np.ndarray:
 def make_sample_fn(modules: E4TModules, scheduler, num_inference_steps: int,
                    guidance_scale: float, domain_embed_scale: float,
                    return_latents: bool = False, eta: float = 0.0,
-                   tp_mesh=None):
+                   tp_mesh=None, int8: bool = False):
     """Build the jit-compiled end-to-end sampling function.
 
     Static: modules, scheduler, step count, guidance, embed scale.
@@ -102,7 +102,16 @@ def make_sample_fn(modules: E4TModules, scheduler, num_inference_steps: int,
     params sharded via parallel.mesh.tensor_parallel_specs; flash
     attention runs head-sharded under shard_map
     (ops/attention.head_sharded_attention).
+    ``int8``: quantize the offset-folded UNet kernels to int8 once per
+    run and serve the UNet matmul/conv path on the int8 MXU
+    (ops/quant.py); not composable with ``tp_mesh``.
     """
+    if int8:
+        assert tp_mesh is None, "--int8 and --tensor_parallel don't compose"
+        from e4t_diffusion_tpu.models.unet import _fused_qkv_enabled
+
+        assert not _fused_qkv_enabled(), \
+            "E4T_FUSED_QKV reads raw kernel leaves"
     do_cfg = guidance_scale > 1.0
     state0 = scheduler.init(num_inference_steps)
     timesteps = state0["timesteps"]
@@ -134,6 +143,11 @@ def make_sample_fn(modules: E4TModules, scheduler, num_inference_steps: int,
             latents = latents * scheduler.init_noise_sigma(state0).astype(
                 latents.dtype)
         params_eff = wo.fold_offset_bank(unet_params, offsets)
+        if int8:
+            # quantize the folded kernels ONCE per run, outside the scan
+            from e4t_diffusion_tpu.ops.quant import quantize_params
+
+            params_eff = quantize_params(params_eff)
         uncond_states, _ = modules.text_encoder.apply(
             {"params": text_params}, uncond_ids)
         bsz = latents.shape[0]
@@ -221,10 +235,11 @@ class StableDiffusionE4TPipeline:
     def __init__(self, modules: E4TModules, params: dict, tokenizer,
                  e4t_config, scheduler=None,
                  already_added_placeholder_token: bool = False,
-                 tp_mesh=None):
+                 tp_mesh=None, int8: bool = False):
         self.modules = modules
         self.params = params  # {"unet","offsets","vae","text","e4t"}
         self.tp_mesh = tp_mesh  # (dp, tp) mesh for tensor-parallel serving
+        self.int8 = int8  # int8 UNet serving (ops/quant.py)
         self.tokenizer = tokenizer
         self.e4t_config = e4t_config
         self.scheduler = scheduler or DDIMScheduler(NoiseScheduleConfig())
@@ -303,7 +318,7 @@ class StableDiffusionE4TPipeline:
             self._fn_cache[key] = make_sample_fn(
                 modules, scheduler, num_inference_steps, guidance_scale, des,
                 return_latents=(output_type == "latent"), eta=eta,
-                tp_mesh=self.tp_mesh)
+                tp_mesh=self.tp_mesh, int8=self.int8)
         fn = self._fn_cache[key]
 
         text_params = self.params["text"]

@@ -32,6 +32,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from e4t_diffusion_tpu.ops.attention import dot_product_attention
+from e4t_diffusion_tpu.ops.quant import (  # int8-capable drop-ins
+    Conv as QConv, Dense as QDense)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -141,9 +143,9 @@ class TimestepEmbedding(nn.Module):
 
     @nn.compact
     def __call__(self, t_emb):
-        x = nn.Dense(self.time_embed_dim, dtype=self.dtype, name="linear_1")(t_emb)
+        x = QDense(self.time_embed_dim, dtype=self.dtype, name="linear_1")(t_emb)
         x = nn.silu(x)
-        x = nn.Dense(self.time_embed_dim, dtype=self.dtype, name="linear_2")(x)
+        x = QDense(self.time_embed_dim, dtype=self.dtype, name="linear_2")(x)
         return x
 
 
@@ -159,18 +161,18 @@ class ResnetBlock2D(nn.Module):
         h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
                          dtype=self.dtype, name="norm1")(x)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+        h = QConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv1")(h)
-        t = nn.Dense(self.out_channels, dtype=self.dtype,
+        t = QDense(self.out_channels, dtype=self.dtype,
                      name="time_emb_proj")(nn.silu(temb))
         h = h + t[:, None, None, :]
         h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
                          dtype=self.dtype, name="norm2")(h)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+        h = QConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv2")(h)
         if self.use_shortcut:
-            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+            x = QConv(self.out_channels, (1, 1), dtype=self.dtype,
                         name="conv_shortcut")(x)
         return x + h
 
@@ -233,11 +235,11 @@ class Attention(nn.Module):
                                                axis=1).astype(self.dtype)
                 k, v = jnp.split(kv, 2, axis=-1)
         else:
-            q = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+            q = QDense(inner, use_bias=False, dtype=self.dtype,
                          name="to_q")(x)
-            k = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+            k = QDense(inner, use_bias=False, dtype=self.dtype,
                          name="to_k")(context)
-            v = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+            v = QDense(inner, use_bias=False, dtype=self.dtype,
                          name="to_v")(context)
         b, sq = q.shape[0], q.shape[1]
         sk = k.shape[1]
@@ -246,7 +248,7 @@ class Attention(nn.Module):
         v = v.reshape(b, sk, self.heads, self.dim_head).transpose(0, 2, 1, 3)
         o = dot_product_attention(q, k, v, scale=1.0 / math.sqrt(self.dim_head))
         o = o.transpose(0, 2, 1, 3).reshape(b, sq, inner)
-        o = nn.Dense(self.out_dim, dtype=self.dtype, name="to_out_0")(o)
+        o = QDense(self.out_dim, dtype=self.dtype, name="to_out_0")(o)
         return o
 
 
@@ -259,10 +261,10 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x):
         inner = self.dim * self.mult
-        proj = nn.Dense(inner * 2, dtype=self.dtype, name="net_0_proj")(x)
+        proj = QDense(inner * 2, dtype=self.dtype, name="net_0_proj")(x)
         hidden, gate = jnp.split(proj, 2, axis=-1)
         x = hidden * jax.nn.gelu(gate, approximate=False)
-        x = nn.Dense(self.dim, dtype=self.dtype, name="net_2")(x)
+        x = QDense(self.dim, dtype=self.dtype, name="net_2")(x)
         return x
 
 
@@ -309,20 +311,20 @@ class Transformer2DModel(nn.Module):
                          dtype=self.dtype, name="norm")(x)
         if self.use_linear_projection:
             x = x.reshape(b, h * w, c)
-            x = nn.Dense(inner, dtype=self.dtype, name="proj_in")(x)
+            x = QDense(inner, dtype=self.dtype, name="proj_in")(x)
         else:
-            x = nn.Conv(inner, (1, 1), dtype=self.dtype, name="proj_in")(x)
+            x = QConv(inner, (1, 1), dtype=self.dtype, name="proj_in")(x)
             x = x.reshape(b, h * w, inner)
         for i in range(self.depth):
             x = BasicTransformerBlock(inner, self.heads, self.dim_head,
                                       dtype=self.dtype,
                                       name=f"transformer_blocks_{i}")(x, context)
         if self.use_linear_projection:
-            x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
+            x = QDense(c, dtype=self.dtype, name="proj_out")(x)
             x = x.reshape(b, h, w, c)
         else:
             x = x.reshape(b, h, w, inner)
-            x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(x)
+            x = QConv(c, (1, 1), dtype=self.dtype, name="proj_out")(x)
         return x + residual
 
 
@@ -332,7 +334,7 @@ class Downsample2D(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(self.channels, (3, 3), strides=(2, 2), padding=1,
+        return QConv(self.channels, (3, 3), strides=(2, 2), padding=1,
                        dtype=self.dtype, name="conv")(x)
 
 
@@ -344,7 +346,7 @@ class Upsample2D(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
-        return nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype,
+        return QConv(self.channels, (3, 3), padding=1, dtype=self.dtype,
                        name="conv")(x)
 
 
@@ -533,7 +535,7 @@ class UNet2DConditionModel(nn.Module):
             raise ValueError(f"Unsupported class_embed_type "
                              f"{cfg.class_embed_type}")
 
-        x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1,
+        x = QConv(cfg.block_out_channels[0], (3, 3), padding=1,
                     dtype=self.dtype, name="conv_in")(x)
 
         ulp = cfg.use_linear_projection
@@ -608,7 +610,7 @@ class UNet2DConditionModel(nn.Module):
         x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=cfg.norm_eps,
                          dtype=self.dtype, name="conv_norm_out")(x)
         x = nn.silu(x)
-        x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
+        x = QConv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv_out")(x)
         eps = jnp.transpose(x, (0, 3, 1, 2))  # NHWC -> NCHW
         if tap is not None:

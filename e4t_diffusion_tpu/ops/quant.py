@@ -1,0 +1,169 @@
+"""int8 serving quantization for the UNet matmul/conv path (beyond
+reference parity — the reference has no quantized serving story).
+
+v5e's MXU runs int8 x int8 -> int32 at 2x the bf16 MAC rate, and the
+SD-v1 UNet's non-attention time is MXU-bound (~74% of peak in bf16,
+docs/ARCHITECTURE.md), so weight+activation int8 is the one remaining
+large inference lever. Scheme (standard symmetric PTQ):
+
+- weights: static per-output-channel int8, scale = max|w| / 127,
+  quantized ONCE per sampling run on the offset-FOLDED effective kernels
+  (after ``fold_offset_bank`` — personalization offsets are preserved
+  exactly; only the final matmul operands are quantized);
+- activations: dynamic per-tensor int8 (scale from the live max), so no
+  calibration data is needed;
+- GroupNorm/LayerNorm/SiLU/softmax and the flash-attention inner math
+  stay bf16/f32.
+
+The mechanism is param-driven, not config-driven: ``quantize_params``
+rewrites every ``kernel`` leaf to ``{"q": int8, "s": f32}``, and the
+``Dense``/``Conv`` drop-ins below (used by models/unet.py in place of
+``nn.Dense``/``nn.Conv``) switch to the int8 kernel when they find a
+quantized leaf. The same module code therefore serves both paths, the
+param tree layout (``<name>/kernel``) is unchanged for checkpoints /
+offset folding / TP specs, and the quantization runs OUTSIDE the
+denoise scan (no per-step requantization — XLA is not reliable about
+hoisting big loop-invariant elementwise work, see the E4T_FUSED_QKV
+negative result in CLAUDE.md).
+
+Enable per call site: ``make_sample_fn(..., int8=True)``,
+``inference.py --int8``, ``E4T_BENCH_INT8=1 python bench.py``. Not
+composable with --tensor_parallel (tensor_parallel_specs addresses
+plain kernel leaves); quantize_params raises if given a sharded tree
+marker. Accuracy: see tests/test_quant.py for the error bounds asserted
+on random nets; real-checkpoint quality validation needs staged weights.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+_EPS = 1e-8
+
+
+def quantize_kernel(w: jax.Array) -> dict:
+    """Symmetric per-output-channel int8. Dense kernels are (in, out);
+    conv kernels (kh, kw, in, out) — the output channel is the last axis
+    in both."""
+    reduce_axes = tuple(range(w.ndim - 1))
+    s = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=reduce_axes)
+    s = jnp.maximum(s, _EPS) / 127.0
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / s), -127, 127)
+    return {"q": q.astype(jnp.int8), "s": s}
+
+
+def is_quantized(leaf) -> bool:
+    return isinstance(leaf, dict) and set(leaf) == {"q", "s"}
+
+
+def quantize_params(tree: dict) -> dict:
+    """Rewrite every matmul/conv ``kernel`` leaf (ndim 2 or 4) to its
+    int8 form. Norm scales (1-D) and biases are untouched."""
+    def walk(node):
+        out = {}
+        for k, v in node.items():
+            if isinstance(v, dict):
+                out[k] = walk(v)
+            elif k == "kernel" and hasattr(v, "ndim") and v.ndim in (2, 4):
+                out[k] = quantize_kernel(v)
+            else:
+                out[k] = v
+        return out
+
+    return walk(tree)
+
+
+def _quantize_activation(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Dynamic per-tensor symmetric int8."""
+    s = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), _EPS) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127)
+    return q.astype(jnp.int8), s
+
+
+def int8_dense(x: jax.Array, kdict: dict, dtype) -> jax.Array:
+    xq, sx = _quantize_activation(x)
+    y = jax.lax.dot_general(
+        xq, kdict["q"], (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return (y.astype(jnp.float32) * (sx * kdict["s"])).astype(dtype)
+
+
+def int8_conv(x: jax.Array, kdict: dict, strides, padding, dtype):
+    """NHWC x HWIO int8 conv -> int32 -> rescale."""
+    xq, sx = _quantize_activation(x)
+    y = jax.lax.conv_general_dilated(
+        xq, kdict["q"], window_strides=strides, padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    return (y.astype(jnp.float32) * (sx * kdict["s"])).astype(dtype)
+
+
+def _maybe_quantized_kernel(module: nn.Module) -> Optional[dict]:
+    if module.is_initializing():
+        return None
+    leaf = module.get_variable("params", "kernel")
+    return leaf if is_quantized(leaf) else None
+
+
+class Dense(nn.Module):
+    """nn.Dense drop-in (same param layout/init) that runs the int8 MXU
+    path when its kernel leaf was rewritten by ``quantize_params``."""
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kdict = _maybe_quantized_kernel(self)
+        if kdict is not None:
+            y = int8_dense(x, kdict, self.dtype)
+        else:
+            kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                (x.shape[-1], self.features), jnp.float32)
+            y = x.astype(self.dtype) @ kernel.astype(self.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class Conv(nn.Module):
+    """nn.Conv drop-in (NHWC, HWIO kernels, same param layout/init) with
+    the int8 path; supports the UNet's square kernels / int padding."""
+    features: int
+    kernel_size: Sequence[int]
+    strides: Union[None, int, Sequence[int]] = None
+    padding: Union[int, str, Sequence[Tuple[int, int]]] = 0
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        strides = self.strides or (1, 1)
+        if isinstance(strides, int):
+            strides = (strides, strides)
+        padding = self.padding
+        if isinstance(padding, int):
+            padding = ((padding, padding), (padding, padding))
+
+        kdict = _maybe_quantized_kernel(self)
+        if kdict is not None:
+            y = int8_conv(x, kdict, strides, padding, self.dtype)
+        else:
+            kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                (kh, kw, x.shape[-1], self.features),
+                                jnp.float32)
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                window_strides=strides, padding=padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y

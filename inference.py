@@ -64,6 +64,11 @@ def parse_args():
                              "kernels sharded over a tp mesh axis, flash "
                              "attention head-sharded via shard_map "
                              "(beyond reference parity)")
+    parser.add_argument("--int8", action="store_true",
+                        help="int8-quantize the offset-folded UNet kernels "
+                             "and serve the matmul/conv path on the int8 "
+                             "MXU (ops/quant.py; not composable with "
+                             "--tensor_parallel)")
     parser.add_argument("--output", type=str, default="grid.png")
     return parser.parse_args()
 
@@ -119,7 +124,8 @@ def main():
               f"tp={args.tensor_parallel}")
     pipe = StableDiffusionE4TPipeline(
         modules, params, tokenizer, e4t_config, scheduler=scheduler,
-        already_added_placeholder_token=True, tp_mesh=tp_mesh)
+        already_added_placeholder_token=True, tp_mesh=tp_mesh,
+        int8=args.int8)
     print("loaded pipeline")
 
     image = load_image(args.image_path_or_url)

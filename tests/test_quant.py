@@ -1,0 +1,159 @@
+"""int8 serving quantization (ops/quant.py).
+
+Covers: per-channel weight + per-tensor activation int8 error bounds on
+the drop-in Dense/Conv layers, exactness of the param rewrite (only
+matmul/conv kernels change), UNet forward int8-vs-f32 agreement at tiny
+config, and the end-to-end int8 sampling path through make_sample_fn.
+Real-checkpoint image-quality validation requires staged weights; these
+tests bound the numerical error the scheme introduces.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from e4t_diffusion_tpu.ops import quant
+
+
+def _rel_err(a, b):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    return np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12)
+
+
+def test_dense_int8_close_to_f32():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(4, 64)).astype(np.float32))
+    layer = quant.Dense(features=32)
+    params = layer.init(jax.random.PRNGKey(0), x)["params"]
+    ref = layer.apply({"params": params}, x)
+    qparams = quant.quantize_params(dict(params))
+    out = layer.apply({"params": qparams}, x)
+    # int8 per-channel weights + per-tensor activations: ~1% relative
+    assert _rel_err(out, ref) < 2e-2, _rel_err(out, ref)
+
+
+def test_conv_int8_close_to_f32():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 16)).astype(np.float32))
+    layer = quant.Conv(features=24, kernel_size=(3, 3), padding=1)
+    params = layer.init(jax.random.PRNGKey(0), x)["params"]
+    ref = layer.apply({"params": params}, x)
+    qparams = quant.quantize_params(dict(params))
+    out = layer.apply({"params": qparams}, x)
+    assert out.shape == ref.shape
+    assert _rel_err(out, ref) < 2e-2, _rel_err(out, ref)
+
+
+def test_drop_ins_match_flax_layers_unquantized():
+    """The Dense/Conv drop-ins must be numerically identical to
+    nn.Dense/nn.Conv on plain params (same init, same math)."""
+    from flax import linen as nn
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(3, 10)).astype(np.float32))
+    ours = quant.Dense(features=7)
+    theirs = nn.Dense(features=7)
+    p1 = ours.init(jax.random.PRNGKey(5), x)["params"]
+    p2 = theirs.init(jax.random.PRNGKey(5), x)["params"]
+    for k in p1:
+        np.testing.assert_array_equal(np.asarray(p1[k]), np.asarray(p2[k]))
+    np.testing.assert_allclose(
+        np.asarray(ours.apply({"params": p1}, x)),
+        np.asarray(theirs.apply({"params": p1}, x)), atol=1e-6)
+
+    xc = jnp.asarray(rng.normal(size=(2, 6, 6, 4)).astype(np.float32))
+    ours_c = quant.Conv(features=5, kernel_size=(3, 3), padding=1,
+                        strides=(2, 2))
+    theirs_c = nn.Conv(features=5, kernel_size=(3, 3), padding=1,
+                       strides=(2, 2))
+    pc1 = ours_c.init(jax.random.PRNGKey(6), xc)["params"]
+    pc2 = theirs_c.init(jax.random.PRNGKey(6), xc)["params"]
+    for k in pc1:
+        np.testing.assert_array_equal(np.asarray(pc1[k]), np.asarray(pc2[k]))
+    np.testing.assert_allclose(
+        np.asarray(ours_c.apply({"params": pc1}, xc)),
+        np.asarray(theirs_c.apply({"params": pc1}, xc)), atol=1e-6)
+
+
+def test_quantize_params_rewrites_only_kernels():
+    tree = {
+        "block": {
+            "conv1": {"kernel": jnp.ones((3, 3, 4, 8)),
+                      "bias": jnp.zeros((8,))},
+            "norm": {"scale": jnp.ones((4,)), "bias": jnp.zeros((4,))},
+            "dense": {"kernel": jnp.ones((4, 8)), "bias": jnp.zeros((8,))},
+        },
+    }
+    q = quant.quantize_params(tree)
+    assert quant.is_quantized(q["block"]["conv1"]["kernel"])
+    assert q["block"]["conv1"]["kernel"]["q"].dtype == jnp.int8
+    assert quant.is_quantized(q["block"]["dense"]["kernel"])
+    np.testing.assert_array_equal(np.asarray(q["block"]["norm"]["scale"]),
+                                  np.asarray(tree["block"]["norm"]["scale"]))
+    np.testing.assert_array_equal(np.asarray(q["block"]["conv1"]["bias"]),
+                                  np.asarray(tree["block"]["conv1"]["bias"]))
+
+
+def test_unet_forward_int8_close(tiny_unet_world):
+    modules, params = tiny_unet_world
+    rng = jax.random.PRNGKey(3)
+    x = jax.random.normal(rng, (2, 4, 8, 8))
+    t = jnp.array([5, 100], jnp.int32)
+    ctx = jax.random.normal(rng, (2, 77, modules.text_encoder.config.hidden_size))
+    ref = modules.unet.apply({"params": params["unet"]}, x, t, ctx)
+    qp = quant.quantize_params(params["unet"])
+    out = modules.unet.apply({"params": qp}, x, t, ctx)
+    err = _rel_err(out, ref)
+    # ~30 quantized matmuls deep at tiny width; random weights are the
+    # adversarial case for PTQ (no outlier structure) — bound stays small
+    assert err < 8e-2, err
+
+
+def test_sampling_pipeline_int8_runs(tiny_unet_world):
+    from e4t_diffusion_tpu.diffusion.pipeline import make_sample_fn
+    from e4t_diffusion_tpu.diffusion.schedulers import DDIMScheduler
+    from e4t_diffusion_tpu.models import weight_offsets as wo
+
+    modules, params = tiny_unet_world
+    fn = make_sample_fn(modules, DDIMScheduler(), 2, 7.5, 0.1, int8=True)
+    tcfg = modules.text_encoder.config
+    L = tcfg.max_position_embeddings
+    from e4t_diffusion_tpu.models.clip_text import embed_tokens
+
+    ids = jnp.zeros((1, L), jnp.int32).at[0, 3].set(7)
+    embeds = embed_tokens(params["text"], ids)
+    imgs = fn(params["unet"], params["offsets"], params["vae"],
+              params["text"], params["e4t"],
+              jax.random.normal(jax.random.PRNGKey(0), (1, 4, 8, 8)),
+              jnp.zeros((1, 3, 32, 32)), embeds,
+              jnp.asarray([3], jnp.int32), jnp.zeros((1, L), jnp.int32),
+              embed_tokens(params["text"], jnp.asarray([[5]]))[0, 0],
+              jax.random.PRNGKey(1))
+    assert np.all(np.isfinite(np.asarray(imgs)))
+
+
+@pytest.fixture(scope="module")
+def tiny_unet_world():
+    from e4t_diffusion_tpu.diffusion.pipeline import E4TModules
+    from e4t_diffusion_tpu.models import weight_offsets as wo
+
+    modules = E4TModules.tiny()
+    rng = jax.random.PRNGKey(0)
+    ks = jax.random.split(rng, 5)
+    tcfg = modules.text_encoder.config
+    ecfg = modules.e4t_encoder.config
+    L = tcfg.max_position_embeddings
+    params = {
+        "unet": modules.unet.init(
+            ks[0], jnp.zeros((1, 4, 8, 8)), jnp.array([0]),
+            jnp.zeros((1, L, tcfg.hidden_size)))["params"],
+        "vae": modules.vae.init(ks[1], jnp.zeros((1, 3, 32, 32)),
+                                ks[1])["params"],
+        "text": modules.text_encoder.init(
+            ks[2], jnp.zeros((1, L), jnp.int32))["params"],
+        "e4t": modules.e4t_encoder.init(
+            ks[3], jnp.zeros((1, 3, 32, 32)),
+            jnp.zeros((1, ecfg.unet_feature_dim)))["params"],
+        "offsets": wo.init_offset_bank(ks[4], modules.unet.config),
+    }
+    return modules, params
