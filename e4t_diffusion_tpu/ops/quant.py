@@ -123,7 +123,11 @@ class Dense(nn.Module):
         else:
             kernel = self.param("kernel", nn.initializers.lecun_normal(),
                                 (x.shape[-1], self.features), jnp.float32)
-            y = x.astype(self.dtype) @ kernel.astype(self.dtype)
+            # same dot as nn.Dense (contract last/first, no batch dims) so
+            # the lowered HLO — and thus cache keys and layouts — match
+            y = jax.lax.dot_general(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                (((x.ndim - 1,), (0,)), ((), ())))
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), jnp.float32)
