@@ -115,6 +115,14 @@ def main():
             lambda x: modules.unet.apply({"params": unet_params},
                                          x[0], t, x[1]),
             (lats, ctxs))
+    if want("unet_fwd_int8"):
+        from e4t_diffusion_tpu.ops.quant import quantize_params
+
+        q_params = quantize_params(unet_params)
+        results["unet_fwd_int8_ms"] = scan_time(
+            lambda x: modules.unet.apply({"params": q_params},
+                                         x[0], t, x[1]),
+            (lats, ctxs))
     if only:
         results["batch"] = batch
         results["blocks"] = (os.environ.get("E4T_FLASH_BLOCK_Q", "2048"),
