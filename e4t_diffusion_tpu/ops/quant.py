@@ -78,9 +78,23 @@ def quantize_params(tree: dict) -> dict:
     return walk(tree)
 
 
+def _static_act_scale() -> Optional[float]:
+    """E4T_INT8_STATIC_ACT=<float>: use a fixed activation scale instead
+    of the per-call abs-max. A timing probe for the calibrated-static
+    design (clipping behavior is NOT validated); unset = dynamic."""
+    import os
+
+    v = os.environ.get("E4T_INT8_STATIC_ACT", "")
+    return float(v) if v else None
+
+
 def _quantize_activation(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Dynamic per-tensor symmetric int8."""
-    s = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), _EPS) / 127.0
+    static = _static_act_scale()
+    if static is not None:
+        s = jnp.float32(static / 127.0)
+    else:
+        s = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), _EPS) / 127.0
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127)
     return q.astype(jnp.int8), s
 
