@@ -157,3 +157,33 @@ def tiny_unet_world():
         "offsets": wo.init_offset_bank(ks[4], modules.unet.config),
     }
     return modules, params
+
+
+def test_int8_sampling_close_to_bf16(tiny_unet_world):
+    """Quality proxy: an 8-step CFG DDIM run with int8 UNet serving must
+    track the full-precision run closely even on random weights (the
+    adversarial case for PTQ — no trained-weight outlier structure).
+    Measured: corr 0.9946, mean|diff| 0.021 on [0,1] images."""
+    from e4t_diffusion_tpu.diffusion.pipeline import make_sample_fn
+    from e4t_diffusion_tpu.diffusion.schedulers import DDIMScheduler
+    from e4t_diffusion_tpu.models.clip_text import embed_tokens
+
+    modules, params = tiny_unet_world
+    tcfg = modules.text_encoder.config
+    L = tcfg.max_position_embeddings
+    ids = jnp.zeros((1, L), jnp.int32).at[0, 3].set(7)
+    embeds = embed_tokens(params["text"], ids)
+    args = (params["unet"], params["offsets"], params["vae"],
+            params["text"], params["e4t"],
+            jax.random.normal(jax.random.PRNGKey(0), (1, 4, 8, 8)),
+            jnp.zeros((1, 3, 32, 32)), embeds, jnp.asarray([3], jnp.int32),
+            jnp.zeros((1, L), jnp.int32),
+            embed_tokens(params["text"], jnp.asarray([[5]]))[0, 0],
+            jax.random.PRNGKey(1))
+    ref = np.asarray(make_sample_fn(modules, DDIMScheduler(), 8, 7.5,
+                                    0.1)(*args))
+    q = np.asarray(make_sample_fn(modules, DDIMScheduler(), 8, 7.5, 0.1,
+                                  int8=True)(*args))
+    corr = np.corrcoef(ref.ravel(), q.ravel())[0, 1]
+    assert corr > 0.97, corr
+    assert np.abs(ref - q).mean() < 0.05
