@@ -100,7 +100,11 @@ def run_bench(batch: int, fallback: bool = False):
         lambda k: wo.init_offset_bank(k, modules.unet.config), rng))
 
     scheduler = DDIMScheduler(NoiseScheduleConfig())
-    int8 = os.environ.get("E4T_BENCH_INT8", "0") == "1"
+    # E4T_BENCH_INT8: "1" = dynamic activation scales, "static" =
+    # calibrated static scales (one short calibration run, untimed —
+    # matches serving, where calibration happens once at model load)
+    int8_env = os.environ.get("E4T_BENCH_INT8", "0")
+    int8 = "static" if int8_env == "static" else int8_env == "1"
     fn = make_sample_fn(modules, scheduler, num_inference_steps=steps,
                         guidance_scale=7.5, domain_embed_scale=0.1,
                         int8=int8)
@@ -112,9 +116,22 @@ def run_bench(batch: int, fallback: bool = False):
     uncond_ids = jnp.zeros((1, 77), jnp.int32)
     class_embed = jnp.zeros((tcfg.hidden_size,), dtype)
 
+    extra = ()
+    if int8 == "static":
+        from e4t_diffusion_tpu.diffusion.pipeline import make_calibration_fn
+
+        cfn = make_calibration_fn(
+            modules, scheduler,
+            int(os.environ.get("E4T_INT8_CALIB_STEPS", "8")),
+            guidance_scale=7.5, domain_embed_scale=0.1)
+        amax = cfn(unet_params, offsets, text_params, e4t_params,
+                   latents, pixel, inputs_embeds, ph_idx, uncond_ids,
+                   class_embed, jax.random.PRNGKey(1))
+        extra = (jax.block_until_ready(amax),)
+
     args = (unet_params, offsets, vae_params, text_params, e4t_params,
             latents, pixel, inputs_embeds, ph_idx, uncond_ids, class_embed,
-            jax.random.PRNGKey(1))
+            jax.random.PRNGKey(1), *extra)
 
     # warmup / compile (fetch a scalar: under the axon relay,
     # block_until_ready alone can acknowledge before real execution)
@@ -139,10 +156,10 @@ def run_bench(batch: int, fallback: bool = False):
     img_per_sec = batch / best
 
     n_chips = jax.device_count()
+    tag = {False: "", True: "_int8", "static": "_int8static"}[int8]
     result = {
-        "metric": (f"e4t_inference_{res}px_ddim{steps}_int8_images"
-                   f"_per_sec_per_chip" if int8 else
-                   f"e4t_inference_{res}px_ddim{steps}_images_per_sec_per_chip"),
+        "metric": (f"e4t_inference_{res}px_ddim{steps}{tag}"
+                   f"_images_per_sec_per_chip"),
         "value": round(img_per_sec / n_chips, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round((img_per_sec / n_chips)

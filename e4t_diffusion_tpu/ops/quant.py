@@ -11,7 +11,11 @@ large inference lever. Scheme (standard symmetric PTQ):
   (after ``fold_offset_bank`` — personalization offsets are preserved
   exactly; only the final matmul operands are quantized);
 - activations: dynamic per-tensor int8 (scale from the live max), so no
-  calibration data is needed;
+  calibration data is needed; OR calibrated static per-site scales
+  (``--int8_static_act``): a short bf16 trajectory records each site's
+  activation abs-max (the ``calib`` collection sown below), the scale is
+  baked next to the int8 kernel (``"sa"``), and serving skips the
+  per-call abs-max reduction entirely (~3 ms/UNet-fwd measured);
 - GroupNorm/LayerNorm/SiLU/softmax and the flash-attention inner math
   stay bf16/f32.
 
@@ -37,6 +41,7 @@ bf16 (+11.2%) — docs/KERNELS.md discusses the gap to the naive 2x.
 """
 from __future__ import annotations
 
+import contextlib
 from typing import Any, Optional, Sequence, Tuple, Union
 
 import jax
@@ -44,6 +49,31 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 _EPS = 1e-8
+
+# Trace-time flag: while True, the Dense/Conv drop-ins sow each site's
+# activation abs-max into a "calib" collection. Read at TRACE time (like
+# the E4T_* env knobs elsewhere), so programs traced outside
+# calibration_trace() are byte-identical to before — the persistent
+# compile cache (utils/runtime.py) is not invalidated by this feature.
+_CALIBRATING = False
+
+
+@contextlib.contextmanager
+def calibration_trace():
+    """Enable activation-range recording for code traced inside the
+    context (pipeline.make_calibration_fn wraps every call of its jitted
+    fn in this, so retraces see the flag too)."""
+    global _CALIBRATING
+    prev = _CALIBRATING
+    _CALIBRATING = True
+    try:
+        yield
+    finally:
+        _CALIBRATING = prev
+
+
+def calibrating() -> bool:
+    return _CALIBRATING
 
 
 def quantize_kernel(w: jax.Array) -> dict:
@@ -58,41 +88,46 @@ def quantize_kernel(w: jax.Array) -> dict:
 
 
 def is_quantized(leaf) -> bool:
-    return isinstance(leaf, dict) and set(leaf) == {"q", "s"}
+    return isinstance(leaf, dict) and set(leaf) in ({"q", "s"},
+                                                    {"q", "s", "sa"})
 
 
-def quantize_params(tree: dict) -> dict:
+def quantize_params(tree: dict, act_amax: Optional[dict] = None,
+                    act_headroom: float = 1.0) -> dict:
     """Rewrite every matmul/conv ``kernel`` leaf (ndim 2 or 4) to its
-    int8 form. Norm scales (1-D) and biases are untouched."""
-    def walk(node):
+    int8 form. Norm scales (1-D) and biases are untouched.
+
+    ``act_amax``: a ``"calib"`` collection from a calibration run
+    (pipeline.make_calibration_fn) — a tree mirroring ``tree`` whose
+    sites hold ``{"amax": scalar}``. When given, each quantized kernel
+    also gets a static activation scale ``"sa" = amax*headroom/127`` and
+    the drop-ins skip the per-call abs-max (activations beyond the
+    calibrated range clip; headroom > 1 trades resolution for margin).
+    """
+    def walk(node, calib):
         out = {}
         for k, v in node.items():
             if isinstance(v, dict):
-                out[k] = walk(v)
+                out[k] = walk(v, calib.get(k, {}) if calib else {})
             elif k == "kernel" and hasattr(v, "ndim") and v.ndim in (2, 4):
                 out[k] = quantize_kernel(v)
+                if calib and "amax" in calib:
+                    amax = jnp.asarray(calib["amax"], jnp.float32)
+                    out[k]["sa"] = (jnp.maximum(amax * act_headroom, _EPS)
+                                    / 127.0)
             else:
                 out[k] = v
         return out
 
-    return walk(tree)
+    return walk(tree, act_amax or {})
 
 
-def _static_act_scale() -> Optional[float]:
-    """E4T_INT8_STATIC_ACT=<float>: use a fixed activation scale instead
-    of the per-call abs-max. A timing probe for the calibrated-static
-    design (clipping behavior is NOT validated); unset = dynamic."""
-    import os
-
-    v = os.environ.get("E4T_INT8_STATIC_ACT", "")
-    return float(v) if v else None
-
-
-def _quantize_activation(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """Dynamic per-tensor symmetric int8."""
-    static = _static_act_scale()
-    if static is not None:
-        s = jnp.float32(static / 127.0)
+def _quantize_activation(x: jax.Array, sa: Optional[jax.Array] = None,
+                         ) -> Tuple[jax.Array, jax.Array]:
+    """Per-tensor symmetric int8: dynamic abs-max scale, or the
+    calibrated static scale ``sa`` when provided."""
+    if sa is not None:
+        s = sa
     else:
         s = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), _EPS) / 127.0
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127)
@@ -100,7 +135,7 @@ def _quantize_activation(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 
 def int8_dense(x: jax.Array, kdict: dict, dtype) -> jax.Array:
-    xq, sx = _quantize_activation(x)
+    xq, sx = _quantize_activation(x, kdict.get("sa"))
     y = jax.lax.dot_general(
         xq, kdict["q"], (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
@@ -109,7 +144,7 @@ def int8_dense(x: jax.Array, kdict: dict, dtype) -> jax.Array:
 
 def int8_conv(x: jax.Array, kdict: dict, strides, padding, dtype):
     """NHWC x HWIO int8 conv -> int32 -> rescale."""
-    xq, sx = _quantize_activation(x)
+    xq, sx = _quantize_activation(x, kdict.get("sa"))
     y = jax.lax.conv_general_dilated(
         xq, kdict["q"], window_strides=strides, padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -122,6 +157,17 @@ def _maybe_quantized_kernel(module: nn.Module) -> Optional[dict]:
         return None
     leaf = module.get_variable("params", "kernel")
     return leaf if is_quantized(leaf) else None
+
+
+def _sow_act_amax(module: nn.Module, x: jax.Array) -> None:
+    """Under calibration_trace(), record this site's activation abs-max
+    (running max across calls within one apply; callers running several
+    applies max-reduce the returned collections)."""
+    if calibrating() and not module.is_initializing():
+        module.sow("calib", "amax",
+                   jnp.max(jnp.abs(x.astype(jnp.float32))),
+                   init_fn=lambda: jnp.zeros((), jnp.float32),
+                   reduce_fn=jnp.maximum)
 
 
 class Dense(nn.Module):
@@ -137,6 +183,7 @@ class Dense(nn.Module):
         if kdict is not None:
             y = int8_dense(x, kdict, self.dtype)
         else:
+            _sow_act_amax(self, x)
             kernel = self.param("kernel", nn.initializers.lecun_normal(),
                                 (x.shape[-1], self.features), jnp.float32)
             # same dot as nn.Dense (contract last/first, no batch dims) so
@@ -175,6 +222,7 @@ class Conv(nn.Module):
         if kdict is not None:
             y = int8_conv(x, kdict, strides, padding, self.dtype)
         else:
+            _sow_act_amax(self, x)
             kernel = self.param("kernel", nn.initializers.lecun_normal(),
                                 (kh, kw, x.shape[-1], self.features),
                                 jnp.float32)

@@ -69,6 +69,12 @@ def parse_args():
                              "and serve the matmul/conv path on the int8 "
                              "MXU (ops/quant.py; not composable with "
                              "--tensor_parallel)")
+    parser.add_argument("--int8_static_act", action="store_true",
+                        help="with --int8: calibrate static activation "
+                             "scales on a short trajectory at the first "
+                             "prompt (E4T_INT8_CALIB_STEPS, default 8) "
+                             "and skip the per-call activation abs-max "
+                             "reductions for all prompts")
     parser.add_argument("--output", type=str, default="grid.png")
     return parser.parse_args()
 
@@ -125,7 +131,8 @@ def main():
     pipe = StableDiffusionE4TPipeline(
         modules, params, tokenizer, e4t_config, scheduler=scheduler,
         already_added_placeholder_token=True, tp_mesh=tp_mesh,
-        int8=args.int8)
+        int8=("static" if args.int8 and args.int8_static_act
+              else args.int8))
     print("loaded pipeline")
 
     image = load_image(args.image_path_or_url)

@@ -123,6 +123,23 @@ def main():
             lambda x: modules.unet.apply({"params": q_params},
                                          x[0], t, x[1]),
             (lats, ctxs))
+    if want("unet_fwd_int8_static"):
+        from e4t_diffusion_tpu.ops import quant
+
+        # calibrate activation ranges from one bf16 forward (timing is
+        # scale-value independent; real serving calibrates a trajectory
+        # via pipeline.make_calibration_fn)
+        with quant.calibration_trace():
+            _, cvars = jax.jit(
+                lambda p, x, tt, c: modules.unet.apply(
+                    {"params": p}, x, tt, c, mutable=["calib"]))(
+                unet_params, lats[0], t, ctxs[0])
+        qs_params = quant.quantize_params(unet_params,
+                                          act_amax=cvars["calib"])
+        results["unet_fwd_int8_static_ms"] = scan_time(
+            lambda x: modules.unet.apply({"params": qs_params},
+                                         x[0], t, x[1]),
+            (lats, ctxs))
     if only:
         results["batch"] = batch
         results["blocks"] = (os.environ.get("E4T_FLASH_BLOCK_Q", "2048"),

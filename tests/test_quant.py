@@ -159,6 +159,51 @@ def tiny_unet_world():
     return modules, params
 
 
+def test_calibration_records_act_amax():
+    """Under calibration_trace(), the drop-ins sow each site's input
+    abs-max into a mutable "calib" collection aligned with the param
+    tree; outside the context the traced program is unchanged."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(4, 16)).astype(np.float32))
+    layer = quant.Dense(features=8)
+    params = layer.init(jax.random.PRNGKey(0), x)["params"]
+    with quant.calibration_trace():
+        _, cvars = layer.apply({"params": params}, x, mutable=["calib"])
+    amax = np.asarray(cvars["calib"]["amax"])
+    np.testing.assert_allclose(amax, np.abs(np.asarray(x)).max(), rtol=1e-6)
+    # outside the context: no calib collection is produced
+    _, cvars2 = layer.apply({"params": params}, x, mutable=["calib"])
+    assert "amax" not in cvars2.get("calib", {})
+
+
+def test_static_act_scale_matches_dynamic_at_true_max():
+    """With sa baked from the exact abs-max, the static path must agree
+    bit-for-bit with the dynamic path (same scale, same rounding)."""
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(4, 32)).astype(np.float32))
+    layer = quant.Dense(features=16)
+    params = layer.init(jax.random.PRNGKey(0), x)["params"]
+    q_dyn = quant.quantize_params(dict(params))
+    amax_tree = {"amax": jnp.max(jnp.abs(x))}
+    q_static = quant.quantize_params(dict(params), act_amax=amax_tree)
+    assert "sa" in q_static["kernel"] and quant.is_quantized(
+        q_static["kernel"])
+    out_d = layer.apply({"params": q_dyn}, x)
+    out_s = layer.apply({"params": q_static}, x)
+    np.testing.assert_array_equal(np.asarray(out_d), np.asarray(out_s))
+
+
+def test_static_act_clips_beyond_calibrated_range():
+    """Activations beyond the calibrated range saturate (no wraparound,
+    bounded error): quantized input is clipped to ±127·sa."""
+    x = jnp.asarray([[0.5, -0.25, 2.0]], jnp.float32)  # 2.0 > calib max 1.0
+    params = {"kernel": jnp.eye(3), "bias": jnp.zeros((3,))}
+    q = quant.quantize_params(dict(params), act_amax={"amax": jnp.float32(1.0)})
+    out = np.asarray(quant.Dense(features=3).apply({"params": q}, x))
+    np.testing.assert_allclose(out[0, :2], [0.5, -0.25], atol=1e-2)
+    np.testing.assert_allclose(out[0, 2], 1.0, atol=1e-2)  # clipped to 1.0
+
+
 def test_int8_sampling_close_to_bf16(tiny_unet_world):
     """Quality proxy: an 8-step CFG DDIM run with int8 UNet serving must
     track the full-precision run closely even on random weights (the
@@ -184,6 +229,45 @@ def test_int8_sampling_close_to_bf16(tiny_unet_world):
                                     0.1)(*args))
     q = np.asarray(make_sample_fn(modules, DDIMScheduler(), 8, 7.5, 0.1,
                                   int8=True)(*args))
+    corr = np.corrcoef(ref.ravel(), q.ravel())[0, 1]
+    assert corr > 0.97, corr
+    assert np.abs(ref - q).mean() < 0.05
+
+
+def test_int8_static_act_sampling_close_to_bf16(tiny_unet_world):
+    """Static-activation quality proxy: calibrate ranges on a SHORT
+    (4-step) trajectory, serve 8 steps with int8="static" — the range
+    mismatch between calibration and serving exercises the clipping
+    path — and require the same closeness to bf16 as dynamic int8."""
+    from e4t_diffusion_tpu.diffusion.pipeline import (make_calibration_fn,
+                                                      make_sample_fn)
+    from e4t_diffusion_tpu.diffusion.schedulers import DDIMScheduler
+    from e4t_diffusion_tpu.models.clip_text import embed_tokens
+
+    modules, params = tiny_unet_world
+    tcfg = modules.text_encoder.config
+    L = tcfg.max_position_embeddings
+    ids = jnp.zeros((1, L), jnp.int32).at[0, 3].set(7)
+    embeds = embed_tokens(params["text"], ids)
+    common = (jax.random.normal(jax.random.PRNGKey(0), (1, 4, 8, 8)),
+              jnp.zeros((1, 3, 32, 32)), embeds, jnp.asarray([3], jnp.int32),
+              jnp.zeros((1, L), jnp.int32),
+              embed_tokens(params["text"], jnp.asarray([[5]]))[0, 0],
+              jax.random.PRNGKey(1))
+    cfn = make_calibration_fn(modules, DDIMScheduler(), 4, 7.5, 0.1)
+    amax = cfn(params["unet"], params["offsets"], params["text"],
+               params["e4t"], *common)
+    # every site saw data: a zero amax means a dead calib path
+    amax_vals = np.asarray(
+        [np.asarray(v) for v in jax.tree_util.tree_leaves(amax)])
+    assert (amax_vals > 0).all()
+
+    args = (params["unet"], params["offsets"], params["vae"],
+            params["text"], params["e4t"], *common)
+    ref = np.asarray(make_sample_fn(modules, DDIMScheduler(), 8, 7.5,
+                                    0.1)(*args))
+    q = np.asarray(make_sample_fn(modules, DDIMScheduler(), 8, 7.5, 0.1,
+                                  int8="static")(*args, amax))
     corr = np.corrcoef(ref.ravel(), q.ravel())[0, 1]
     assert corr > 0.97, corr
     assert np.abs(ref - q).mean() < 0.05
