@@ -93,7 +93,8 @@ def preprocess_image(image) -> np.ndarray:
 def make_sample_fn(modules: E4TModules, scheduler, num_inference_steps: int,
                    guidance_scale: float, domain_embed_scale: float,
                    return_latents: bool = False, eta: float = 0.0,
-                   tp_mesh=None, int8: Union[bool, str] = False):
+                   tp_mesh=None, int8: Union[bool, str] = False,
+                   lora_scale: Optional[float] = None):
     """Build the jit-compiled end-to-end sampling function.
 
     Static: modules, scheduler, step count, guidance, embed scale.
@@ -106,9 +107,14 @@ def make_sample_fn(modules: E4TModules, scheduler, num_inference_steps: int,
     run and serve the UNet matmul/conv path on the int8 MXU
     (ops/quant.py); not composable with ``tp_mesh``. ``int8="static"``
     additionally uses calibrated static activation scales — the jitted
-    fn then takes one extra trailing argument, the ``act_amax`` tree
+    fn then takes an extra trailing argument, the ``act_amax`` tree
     from ``make_calibration_fn`` — and skips the per-call activation
     abs-max reductions (~3 ms/UNet-fwd measured).
+    ``lora_scale``: when set, the jitted fn takes a LoRA bank
+    (models/lora.py) as a further trailing argument, folded into the
+    effective kernels after the offsets (kernel*(1+O) + scale*down@up —
+    the reference's LoRACrossAttnProcessor math, zero cost in the scan).
+    Trailing-argument order: (act_amax?, lora_bank?).
     """
     static_act = int8 == "static"
     if int8:
@@ -138,21 +144,29 @@ def make_sample_fn(modules: E4TModules, scheduler, num_inference_steps: int,
             return _sample_body(
                 unet_params, offsets, vae_params, text_params, e4t_params,
                 latents, pixel_values, inputs_embeds, placeholder_idx,
-                uncond_ids, class_embed, noise_rng,
-                extra[0] if extra else None)
+                uncond_ids, class_embed, noise_rng, extra)
 
     def _sample_body(unet_params, offsets, vae_params, text_params,
                      e4t_params, latents, pixel_values, inputs_embeds,
                      placeholder_idx, uncond_ids, class_embed, noise_rng,
-                     act_amax):
-        assert (act_amax is not None) == static_act, \
-            "int8='static' sample fns take a trailing act_amax tree " \
-            "(make_calibration_fn); other modes take none"
+                     extra):
+        n_expected = int(static_act) + int(lora_scale is not None)
+        assert len(extra) == n_expected, \
+            f"expected {n_expected} trailing args (act_amax? lora_bank? " \
+            f"per make_sample_fn flags), got {len(extra)}"
+        it = iter(extra)
+        act_amax = next(it) if static_act else None
+        lora_bank = next(it) if lora_scale is not None else None
         # ---- hoisted (once per sampling run) --------------------------
         if hasattr(scheduler, "init_noise_sigma"):
             latents = latents * scheduler.init_noise_sigma(state0).astype(
                 latents.dtype)
         params_eff = wo.fold_offset_bank(unet_params, offsets)
+        if lora_bank is not None:
+            from e4t_diffusion_tpu.models import lora as lora_mod
+
+            params_eff = lora_mod.fold_lora_bank(params_eff, lora_bank,
+                                                 lora_scale)
         if int8:
             # quantize the folded kernels ONCE per run, outside the scan
             from e4t_diffusion_tpu.ops.quant import quantize_params
@@ -235,7 +249,8 @@ def make_sample_fn(modules: E4TModules, scheduler, num_inference_steps: int,
 
 def make_calibration_fn(modules: E4TModules, scheduler, num_calib_steps: int,
                         guidance_scale: float, domain_embed_scale: float,
-                        eta: float = 0.0):
+                        eta: float = 0.0,
+                        lora_scale: Optional[float] = None):
     """Activation-range calibration for static-act int8 serving
     (ops/quant.py). Builds a jitted full-precision ``num_calib_steps``
     sampling run with the same loop structure as ``make_sample_fn``; the
@@ -259,11 +274,19 @@ def make_calibration_fn(modules: E4TModules, scheduler, num_calib_steps: int,
     @jax.jit
     def calibrate(unet_params, offsets, text_params, e4t_params,
                   latents, pixel_values, inputs_embeds, placeholder_idx,
-                  uncond_ids, class_embed, noise_rng):
+                  uncond_ids, class_embed, noise_rng, *extra):
+        assert len(extra) == int(lora_scale is not None), \
+            "pass the LoRA bank iff lora_scale is set"
         if hasattr(scheduler, "init_noise_sigma"):
             latents = latents * scheduler.init_noise_sigma(state0).astype(
                 latents.dtype)
         params_eff = wo.fold_offset_bank(unet_params, offsets)
+        if lora_scale is not None:
+            from e4t_diffusion_tpu.models import lora as lora_mod
+
+            # calibrate on the same effective kernels serving will use
+            params_eff = lora_mod.fold_lora_bank(params_eff, extra[0],
+                                                 lora_scale)
         uncond_states, _ = modules.text_encoder.apply(
             {"params": text_params}, uncond_ids)
         bsz = latents.shape[0]
@@ -354,7 +377,8 @@ class StableDiffusionE4TPipeline:
     def __init__(self, modules: E4TModules, params: dict, tokenizer,
                  e4t_config, scheduler=None,
                  already_added_placeholder_token: bool = False,
-                 tp_mesh=None, int8: Union[bool, str] = False):
+                 tp_mesh=None, int8: Union[bool, str] = False,
+                 lora_bank=None, lora_scale: float = 1.0):
         self.modules = modules
         self.params = params  # {"unet","offsets","vae","text","e4t"}
         self.tp_mesh = tp_mesh  # (dp, tp) mesh for tensor-parallel serving
@@ -363,6 +387,9 @@ class StableDiffusionE4TPipeline:
         # first __call__, then reused for every later prompt)
         self.int8 = int8
         self._act_amax = None
+        # LoRA adapters (models/lora.py), folded after the offsets
+        self.lora_bank = lora_bank
+        self.lora_scale = lora_scale if lora_bank is not None else None
         self.tokenizer = tokenizer
         self.e4t_config = e4t_config
         self.scheduler = scheduler or DDIMScheduler(NoiseScheduleConfig())
@@ -436,12 +463,13 @@ class StableDiffusionE4TPipeline:
 
         key = (scheduler.__class__.__name__, num_inference_steps,
                float(guidance_scale), float(des), b, float(eta),
-               height, width, output_type == "latent")
+               height, width, output_type == "latent", self.lora_scale)
         if key not in self._fn_cache:
             self._fn_cache[key] = make_sample_fn(
                 modules, scheduler, num_inference_steps, guidance_scale, des,
                 return_latents=(output_type == "latent"), eta=eta,
-                tp_mesh=self.tp_mesh, int8=self.int8)
+                tp_mesh=self.tp_mesh, int8=self.int8,
+                lora_scale=self.lora_scale)
         fn = self._fn_cache[key]
 
         text_params = self.params["text"]
@@ -455,6 +483,7 @@ class StableDiffusionE4TPipeline:
         common = (latents, jnp.asarray(pixel), inputs_embeds,
                   jnp.full((b,), ph_idx, jnp.int32),
                   jnp.asarray(uncond_ids)[None], class_embed, noise_rng)
+        lora_extra = (self.lora_bank,) if self.lora_bank is not None else ()
         extra = ()
         if self.int8 == "static":
             if self._act_amax is None:
@@ -463,14 +492,15 @@ class StableDiffusionE4TPipeline:
                 calib_steps = int(
                     os.environ.get("E4T_INT8_CALIB_STEPS", "8"))
                 cfn = make_calibration_fn(modules, scheduler, calib_steps,
-                                          guidance_scale, des, eta=eta)
+                                          guidance_scale, des, eta=eta,
+                                          lora_scale=self.lora_scale)
                 self._act_amax = cfn(
                     self.params["unet"], self.params["offsets"],
-                    text_params, self.params["e4t"], *common)
+                    text_params, self.params["e4t"], *common, *lora_extra)
             extra = (self._act_amax,)
         images = fn(self.params["unet"], self.params["offsets"],
                     self.params["vae"], text_params, self.params["e4t"],
-                    *common, *extra)
+                    *common, *extra, *lora_extra)
         images = np.asarray(jax.device_get(images))
         if output_type == "pil":
             from PIL import Image

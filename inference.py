@@ -69,6 +69,14 @@ def parse_args():
                              "and serve the matmul/conv path on the int8 "
                              "MXU (ops/quant.py; not composable with "
                              "--tensor_parallel)")
+    parser.add_argument("--lora_weights", type=str, default=None,
+                        help="optional LoRA attention adapters: a "
+                             "diffusers-0.14 attn-procs state dict "
+                             "(pytorch_lora_weights.bin layout); folded "
+                             "into the effective kernels after the E4T "
+                             "offsets (models/lora.py)")
+    parser.add_argument("--lora_scale", type=float, default=1.0,
+                        help="LoRA scale (reference processor default)")
     parser.add_argument("--int8_static_act", action="store_true",
                         help="with --int8: calibrate static activation "
                              "scales on a short trajectory at the first "
@@ -128,11 +136,22 @@ def main():
         params["unet"] = pmesh.apply_tensor_parallel(params["unet"], tp_mesh)
         print(f"tensor-parallel serving: UNet kernels sharded over "
               f"tp={args.tensor_parallel}")
+    lora_bank = None
+    if args.lora_weights:
+        from e4t_diffusion_tpu.models import lora
+        from e4t_diffusion_tpu.utils import convert
+
+        lora_bank = lora.lora_from_torch(
+            convert.load_torch_state_dict(args.lora_weights),
+            modules.unet.config)
+        print(f"loaded LoRA adapters ({len(lora_bank)} attention sites, "
+              f"scale {args.lora_scale})")
     pipe = StableDiffusionE4TPipeline(
         modules, params, tokenizer, e4t_config, scheduler=scheduler,
         already_added_placeholder_token=True, tp_mesh=tp_mesh,
         int8=("static" if args.int8 and args.int8_static_act
-              else args.int8))
+              else args.int8),
+        lora_bank=lora_bank, lora_scale=args.lora_scale)
     print("loaded pipeline")
 
     image = load_image(args.image_path_or_url)
