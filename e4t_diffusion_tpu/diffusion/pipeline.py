@@ -94,7 +94,8 @@ def make_sample_fn(modules: E4TModules, scheduler, num_inference_steps: int,
                    guidance_scale: float, domain_embed_scale: float,
                    return_latents: bool = False, eta: float = 0.0,
                    tp_mesh=None, int8: Union[bool, str] = False,
-                   lora_scale: Optional[float] = None):
+                   lora_scale: Optional[float] = None,
+                   output_uint8: bool = False):
     """Build the jit-compiled end-to-end sampling function.
 
     Static: modules, scheduler, step count, guidance, embed scale.
@@ -242,6 +243,11 @@ def make_sample_fn(modules: E4TModules, scheduler, num_inference_steps: int,
                                    latents / scaling,
                                    method=AutoencoderKL.decode)
         images = jnp.clip(images / 2.0 + 0.5, 0.0, 1.0)
+        if output_uint8:
+            # quantize to the final PNG bytes ON DEVICE: the host fetch
+            # is 4x smaller than f32 (same rounding as the host path)
+            images = jnp.round(images.astype(jnp.float32) * 255.0).astype(
+                jnp.uint8)
         return images
 
     return sample
@@ -424,7 +430,7 @@ class StableDiffusionE4TPipeline:
                          max_length=tok.model_max_length)["input_ids"][0]
         return np.asarray(input_ids), idx, np.asarray(uncond_ids)
 
-    def __call__(self, prompt: str, image,
+    def __call__(self, prompt: Union[str, Sequence[str]], image,
                  num_inference_steps: int = 50,
                  guidance_scale: float = 7.5,
                  negative_prompt: Optional[str] = None,
@@ -437,6 +443,13 @@ class StableDiffusionE4TPipeline:
                  domain_embed_scale: Optional[float] = None,
                  scheduler_type: Optional[str] = None,
                  output_type: str = "np"):
+        """``prompt`` may be a list of DISTINCT prompts (beyond reference
+        parity): they are batched into ONE sampling run with per-sample
+        prompt embeddings and placeholder indices — N prompts cost one
+        batch-N run, the batch-8 serving sweet spot, instead of N runs.
+        Per-sample compute is batch-independent (per-sample GroupNorm/
+        attention), so batched output == per-prompt runs exactly
+        (tests/test_pipeline.py)."""
         # reference parity (/root/reference/e4t/pipeline_stable_diffusion_e4t.py:151)
         assert negative_prompt is None, "negative_prompt is not supported"
         modules = self.modules
@@ -450,10 +463,18 @@ class StableDiffusionE4TPipeline:
         if scheduler_type is not None:
             scheduler = SCHEDULER_MAPPING[scheduler_type](NoiseScheduleConfig())
 
-        input_ids, ph_idx, uncond_ids = self._prepare_prompt(prompt)
+        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+        prepared = [self._prepare_prompt(p) for p in prompts]
+        uncond_ids = prepared[0][2]
+        # (n_prompts, L) ids and (n_prompts,) placeholder positions,
+        # repeated per image; single-prompt runs keep the (1, L) layout
+        # so their compiled programs are unchanged
+        input_ids = np.stack([ids for ids, _, _ in prepared])
+        ph_idx_np = np.repeat([i for _, i, _ in prepared],
+                              num_images_per_prompt)
         pixel = preprocess_image(image)
 
-        b = num_images_per_prompt
+        b = len(prompts) * num_images_per_prompt
         if latents is None:
             rng = jax.random.PRNGKey(0 if seed is None else seed)
             latents = jax.random.normal(
@@ -463,25 +484,27 @@ class StableDiffusionE4TPipeline:
 
         key = (scheduler.__class__.__name__, num_inference_steps,
                float(guidance_scale), float(des), b, float(eta),
-               height, width, output_type == "latent", self.lora_scale)
+               height, width, output_type, self.lora_scale)
         if key not in self._fn_cache:
             self._fn_cache[key] = make_sample_fn(
                 modules, scheduler, num_inference_steps, guidance_scale, des,
                 return_latents=(output_type == "latent"), eta=eta,
                 tp_mesh=self.tp_mesh, int8=self.int8,
-                lora_scale=self.lora_scale)
+                lora_scale=self.lora_scale,
+                output_uint8=(output_type == "pil"))
         fn = self._fn_cache[key]
 
         text_params = self.params["text"]
-        inputs_embeds = embed_tokens(text_params,
-                                     jnp.asarray(input_ids)[None])
+        if len(prompts) > 1:  # per-sample embeddings, repeated per image
+            input_ids = np.repeat(input_ids, num_images_per_prompt, axis=0)
+        inputs_embeds = embed_tokens(text_params, jnp.asarray(input_ids))
         class_embed = embed_tokens(
             text_params, jnp.asarray([self.class_token_id]))[0]
 
         noise_rng = jax.random.PRNGKey(
             (0 if seed is None else seed) ^ 0x5DEECE66D)
         common = (latents, jnp.asarray(pixel), inputs_embeds,
-                  jnp.full((b,), ph_idx, jnp.int32),
+                  jnp.asarray(ph_idx_np, jnp.int32),
                   jnp.asarray(uncond_ids)[None], class_embed, noise_rng)
         lora_extra = (self.lora_bank,) if self.lora_bank is not None else ()
         extra = ()
@@ -502,9 +525,8 @@ class StableDiffusionE4TPipeline:
                     self.params["vae"], text_params, self.params["e4t"],
                     *common, *extra, *lora_extra)
         images = np.asarray(jax.device_get(images))
-        if output_type == "pil":
+        if output_type == "pil":  # device already rounded to uint8
             from PIL import Image
 
-            arr = (images.transpose(0, 2, 3, 1) * 255).round().astype(np.uint8)
-            return [Image.fromarray(a) for a in arr]
+            return [Image.fromarray(a) for a in images.transpose(0, 2, 3, 1)]
         return images

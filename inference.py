@@ -69,6 +69,12 @@ def parse_args():
                              "and serve the matmul/conv path on the int8 "
                              "MXU (ops/quant.py; not composable with "
                              "--tensor_parallel)")
+    parser.add_argument("--batch_prompts", action="store_true",
+                        help="run all '::'-separated prompts as ONE "
+                             "batched sampling run (per-sample prompt "
+                             "embeddings) instead of the reference's "
+                             "one-run-per-prompt loop — N prompts for "
+                             "the price of one batch-N run")
     parser.add_argument("--lora_weights", type=str, default=None,
                         help="optional LoRA attention adapters: a "
                              "diffusers-0.14 attn-procs state dict "
@@ -87,8 +93,10 @@ def parse_args():
     return parser.parse_args()
 
 
-def main():
-    args = parse_args()
+def build_pipeline(args) -> StableDiffusionE4TPipeline:
+    """Resolve the artifact dir, load weights, and construct the serving
+    pipeline from parsed CLI args. Shared by this CLI and the batch
+    server (scripts/serve_e4t.py)."""
     from e4t_diffusion_tpu.utils.runtime import (apply_platform_override,
                                                  setup_compilation_cache)
 
@@ -153,21 +161,38 @@ def main():
               else args.int8),
         lora_bank=lora_bank, lora_scale=args.lora_scale)
     print("loaded pipeline")
+    return pipe
+
+
+def main():
+    args = parse_args()
+    pipe = build_pipeline(args)
 
     image = load_image(args.image_path_or_url)
     prompts = args.prompt.split("::")
     all_images = []
-    for prompt in tqdm(prompts):
-        imgs = pipe(prompt,
-                    image,
-                    num_inference_steps=args.num_inference_steps,
-                    guidance_scale=args.guidance_scale,
-                    num_images_per_prompt=args.num_images_per_prompt,
-                    height=args.height,
-                    width=args.width,
-                    seed=args.seed,
-                    output_type="pil")
-        all_images.extend(imgs)
+    if args.batch_prompts and len(prompts) > 1:
+        all_images = pipe(prompts,
+                          image,
+                          num_inference_steps=args.num_inference_steps,
+                          guidance_scale=args.guidance_scale,
+                          num_images_per_prompt=args.num_images_per_prompt,
+                          height=args.height,
+                          width=args.width,
+                          seed=args.seed,
+                          output_type="pil")
+    else:
+        for prompt in tqdm(prompts):
+            imgs = pipe(prompt,
+                        image,
+                        num_inference_steps=args.num_inference_steps,
+                        guidance_scale=args.guidance_scale,
+                        num_images_per_prompt=args.num_images_per_prompt,
+                        height=args.height,
+                        width=args.width,
+                        seed=args.seed,
+                        output_type="pil")
+            all_images.extend(imgs)
     grid_image = image_grid(all_images, len(prompts),
                             args.num_images_per_prompt)
     grid_image.save(args.output)

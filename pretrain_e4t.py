@@ -353,6 +353,17 @@ def main():
     progress = tqdm(range(args.max_train_steps), initial=global_step,
                     disable=not is_main, desc="Steps")
     micro_step = 0
+    pending = None  # (global_step, metrics) of the newest in-flight step
+
+    def log_metrics(at_step, m):
+        logs = {"train/loss": float(m["loss"]),
+                "train/loss_diff": float(m["loss_diff"]),
+                "train/loss_reg": float(m["loss_reg"]),
+                "train/lr": float(schedule(at_step))}
+        logs.update(timer.metrics())
+        progress.set_postfix(**logs)
+        tracker.log(logs, at_step)
+        return logs
     t_start = time.perf_counter()
     timer = StepTimer(warmup_steps=2, batch_size=args.train_batch_size
                       * jax.device_count())
@@ -400,17 +411,24 @@ def main():
             if global_step == 1 or global_step % args.log_steps == 0:
                 if is_main:
                     sample(batch_np["pixel_values"], global_step)
-            logs = {"train/loss": float(metrics["loss"]),
-                    "train/loss_diff": float(metrics["loss_diff"]),
-                    "train/loss_reg": float(metrics["loss_reg"]),
-                    "train/lr": float(schedule(global_step))}
-            logs.update(timer.metrics())
-            progress.set_postfix(**logs)
-            tracker.log(logs, global_step)
+            # log the PREVIOUS step's metrics: float() forces a device
+            # sync, and the previous step's arrays finished while this
+            # step was being dispatched — the host never stalls on the
+            # step it just launched, so dispatch stays ahead of the
+            # device (the relay's ~20-30 ms round trip would otherwise
+            # serialize every step)
+            if pending is not None:
+                log_metrics(*pending)
+            pending = (global_step, metrics)
             if global_step >= args.max_train_steps:
                 break
     except KeyboardInterrupt:
         print("Summoning checkpoint...")
+    if pending is not None:
+        try:
+            log_metrics(*pending)
+        except Exception:
+            pass  # interrupted mid-step: the last metrics may be unfinished
     if profiling:
         jax.profiler.stop_trace()
     wall = time.perf_counter() - t_start

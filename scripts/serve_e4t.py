@@ -1,0 +1,146 @@
+"""Batch serving driver for E4T inference (beyond reference parity).
+
+Production-shaped throughput serving on one personalization: load the
+artifact dir ONCE, then render a whole prompts file in fixed-size
+batches of DISTINCT prompts (the pipeline batches per-sample prompt
+embeddings — scripts at batch 8 hit the measured v5e serving sweet
+spot). One compiled program serves every full batch; the trailing
+partial batch is padded to the same shape (extras dropped) so serving
+never recompiles mid-stream. All serving options compose: --int8 /
+--int8_static_act (calibration runs once, untimed, at load),
+--lora_weights, --tensor_parallel.
+
+Usage:
+  python scripts/serve_e4t.py --pretrained_model_name_or_path DIR \
+    --image_path IMG --prompts_file prompts.txt --batch_size 8 \
+    --output_dir out [--int8 --int8_static_act]
+
+prompts.txt: one prompt per line (must contain the placeholder token,
+e.g. "*s"); blank lines and '#' comments skipped. Emits
+out/<index>.png, a manifest.jsonl (prompt, file, batch wall-clock), and
+one final JSON line with aggregate images/sec.
+
+--interactive instead reads prompts from stdin (one render per line,
+batch 1) — a smoke/demo loop, not the throughput path.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--pretrained_model_name_or_path", type=str,
+                        required=True)
+    parser.add_argument("--image_path", type=str, required=True,
+                        help="the personalization input image")
+    parser.add_argument("--prompts_file", type=str, default=None)
+    parser.add_argument("--interactive", action="store_true")
+    parser.add_argument("--batch_size", type=int, default=8,
+                        help="prompts per sampling run (8 is the "
+                             "measured v5e-1 sweet spot)")
+    parser.add_argument("--num_inference_steps", type=int, default=50)
+    parser.add_argument("--guidance_scale", type=float, default=7.5)
+    parser.add_argument("--scheduler_type", type=str, default="ddim",
+                        choices=["ddim", "plms", "lms", "euler",
+                                 "euler_ancestral", "dpm_solver++"])
+    parser.add_argument("--height", type=int, default=512)
+    parser.add_argument("--width", type=int, default=512)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--dtype", type=str, default="auto",
+                        choices=["auto", "bf16", "fp32"])
+    parser.add_argument("--tensor_parallel", type=int, default=1)
+    parser.add_argument("--int8", action="store_true")
+    parser.add_argument("--int8_static_act", action="store_true")
+    parser.add_argument("--lora_weights", type=str, default=None)
+    parser.add_argument("--lora_scale", type=float, default=1.0)
+    parser.add_argument("--output_dir", type=str, default="served")
+    return parser.parse_args()
+
+
+def read_prompts(path):
+    with open(path) as f:
+        lines = [ln.strip() for ln in f]
+    return [ln for ln in lines if ln and not ln.startswith("#")]
+
+
+def main():
+    args = parse_args()
+    from inference import build_pipeline
+    from e4t_diffusion_tpu.utils.image import load_image
+
+    pipe = build_pipeline(args)
+    image = load_image(args.image_path)
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    def render(prompts, seed):
+        t0 = time.perf_counter()
+        imgs = pipe(prompts if len(prompts) > 1 else prompts[0], image,
+                    num_inference_steps=args.num_inference_steps,
+                    guidance_scale=args.guidance_scale,
+                    height=args.height, width=args.width,
+                    seed=seed, output_type="pil")
+        return imgs, time.perf_counter() - t0
+
+    if args.interactive:
+        print("interactive mode — one prompt per line (Ctrl-D to exit):")
+        idx = 0
+        for line in sys.stdin:
+            prompt = line.strip()
+            if not prompt:
+                continue
+            try:
+                imgs, dt = render([prompt], args.seed + idx)
+            except ValueError as e:  # e.g. missing placeholder token
+                print(f"error: {e}")
+                continue
+            path = os.path.join(args.output_dir, f"interactive-{idx}.png")
+            imgs[0].save(path)
+            print(f"{path}  ({dt:.2f}s)")
+            idx += 1
+        return
+
+    assert args.prompts_file, "--prompts_file or --interactive required"
+    prompts = read_prompts(args.prompts_file)
+    assert prompts, f"no prompts in {args.prompts_file}"
+    bs = max(1, args.batch_size)
+
+    manifest_path = os.path.join(args.output_dir, "manifest.jsonl")
+    n_done = 0
+    total_wall = 0.0
+    with open(manifest_path, "w") as manifest:
+        for start in range(0, len(prompts), bs):
+            chunk = prompts[start:start + bs]
+            # pad the trailing partial batch to the compiled batch shape;
+            # padded outputs are dropped below
+            padded = chunk + [chunk[-1]] * (bs - len(chunk))
+            imgs, dt = render(padded, args.seed + start)
+            total_wall += dt
+            for i, (prompt, img) in enumerate(zip(chunk, imgs)):
+                path = os.path.join(args.output_dir, f"{start + i:05d}.png")
+                img.save(path)
+                manifest.write(json.dumps(
+                    {"prompt": prompt, "file": path,
+                     "batch_wall_s": round(dt, 3)}) + "\n")
+            n_done += len(chunk)
+            print(f"[serve] {n_done}/{len(prompts)} "
+                  f"({len(chunk)}/{len(padded)} kept, {dt:.2f}s batch)",
+                  file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "e4t_serve_images_per_sec",
+        "value": round(n_done / total_wall, 4),
+        "unit": "images/sec",
+        "images": n_done,
+        "batch_size": bs,
+        "wall_s": round(total_wall, 2),
+        "note": "first batch includes jit compile unless cached",
+    }))
+
+
+if __name__ == "__main__":
+    main()

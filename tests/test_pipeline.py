@@ -89,6 +89,47 @@ def test_pipeline_plms(tiny_setup):
     assert np.isfinite(out).all()
 
 
+def test_pipeline_batched_prompts_match_individual_runs(tiny_setup):
+    """A list of distinct prompts runs as ONE batch with per-sample
+    embeddings, and must reproduce the per-prompt runs (per-sample
+    GroupNorm/attention — no cross-batch coupling)."""
+    pipe, image = tiny_setup
+    p1, p2 = "a photo of *s", "a *s face"
+    lats = np.asarray(jax.random.normal(jax.random.PRNGKey(5),
+                                        (2, 4, 8, 8), jnp.float32))
+    batched = pipe([p1, p2], image, num_inference_steps=2, seed=7,
+                   latents=lats)
+    a = pipe(p1, image, num_inference_steps=2, seed=7, latents=lats[0:1])
+    b = pipe(p2, image, num_inference_steps=2, seed=7, latents=lats[1:2])
+    assert batched.shape == (2, 3, 16, 16)
+    np.testing.assert_allclose(batched[0], a[0], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(batched[1], b[0], rtol=1e-4, atol=1e-4)
+    # the two prompts genuinely produce different images
+    assert not np.allclose(batched[0], batched[1])
+
+
+def test_pipeline_batched_prompts_all_need_placeholder(tiny_setup):
+    pipe, image = tiny_setup
+    with pytest.raises(ValueError, match="placeholder"):
+        pipe(["a photo of *s", "a photo of face"], image,
+             num_inference_steps=1)
+
+
+def test_pipeline_pil_output_matches_np(tiny_setup):
+    """output_type='pil' rounds to uint8 ON DEVICE (4x smaller host
+    fetch); the bytes must match the host-side conversion of the f32
+    output."""
+    pipe, image = tiny_setup
+    arr = pipe("a photo of *s", image, num_inference_steps=2, seed=11)
+    pils = pipe("a photo of *s", image, num_inference_steps=2, seed=11,
+                output_type="pil")
+    assert len(pils) == 1 and pils[0].size == (16, 16)
+    want = (np.asarray(arr[0]).transpose(1, 2, 0) * 255).round()
+    got = np.asarray(pils[0]).astype(np.float64)
+    # identical up to one code of rounding jitter at the f32/bf16 boundary
+    assert np.abs(got - want).max() <= 1.0
+
+
 def test_pipeline_requires_placeholder(tiny_setup):
     pipe, image = tiny_setup
     with pytest.raises(ValueError, match="placeholder"):

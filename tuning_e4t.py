@@ -259,6 +259,15 @@ def main():
     t0 = time.perf_counter()
     global_step = 0
     trace_active = False
+    pending = None  # (global_step, metrics) of the newest in-flight step
+
+    def log_metrics(at_step, m):
+        logs = {"loss": float(m["loss"]),
+                "loss_diff": float(m["loss_diff"]),
+                "loss_reg": float(m["loss_reg"]),
+                "lr": float(schedule(at_step))}
+        progress.set_postfix(**logs)
+        tracker.log(logs, at_step)
     for step in range(args.max_train_steps * args.gradient_accumulation_steps):
         input_ids, ph_idx = sampler.sample(args.train_batch_size)
         batch = {
@@ -287,14 +296,16 @@ def main():
         if (step + 1) % args.gradient_accumulation_steps == 0:
             global_step += 1
             progress.update(1)
-            logs = {"loss": float(metrics["loss"]),
-                    "loss_diff": float(metrics["loss_diff"]),
-                    "loss_reg": float(metrics["loss_reg"]),
-                    "lr": float(schedule(global_step))}
-            progress.set_postfix(**logs)
-            tracker.log(logs, global_step)
+            # log the PREVIOUS step's metrics (finished while this step
+            # dispatched) so float() never stalls on the in-flight step —
+            # see the same pattern in pretrain_e4t.py
+            if pending is not None:
+                log_metrics(*pending)
+            pending = (global_step, metrics)
             if global_step % args.checkpointing_steps == 0:
                 save_weights(global_step)
+    if pending is not None:
+        log_metrics(*pending)
     jax.block_until_ready(state.trainable)
     if trace_active:  # window extended past the loop end — flush it
         jax.profiler.stop_trace()
