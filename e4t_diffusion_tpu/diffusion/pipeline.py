@@ -384,10 +384,16 @@ class StableDiffusionE4TPipeline:
                  e4t_config, scheduler=None,
                  already_added_placeholder_token: bool = False,
                  tp_mesh=None, int8: Union[bool, str] = False,
-                 lora_bank=None, lora_scale: float = 1.0):
+                 lora_bank=None, lora_scale: float = 1.0,
+                 dp_shard_batch: bool = False):
         self.modules = modules
         self.params = params  # {"unet","offsets","vae","text","e4t"}
         self.tp_mesh = tp_mesh  # (dp, tp) mesh for tensor-parallel serving
+        # multi-chip data-parallel serving: shard the sampling batch over
+        # the mesh's dp axis (params replicated / tp-sharded; flash
+        # attention's shard_map batch specs are dp-aware). Requires
+        # tp_mesh (a (dp, tp) mesh — tp may be 1) and batch % dp == 0.
+        self.dp_shard_batch = dp_shard_batch and tp_mesh is not None
         # int8 UNet serving (ops/quant.py): False | True (dynamic act
         # scales) | "static" (activation ranges calibrated once, on the
         # first __call__, then reused for every later prompt)
@@ -503,8 +509,23 @@ class StableDiffusionE4TPipeline:
 
         noise_rng = jax.random.PRNGKey(
             (0 if seed is None else seed) ^ 0x5DEECE66D)
+        ph_idx_dev = jnp.asarray(ph_idx_np, jnp.int32)
+        if self.dp_shard_batch:
+            from e4t_diffusion_tpu.parallel import mesh as pmesh
+
+            dp = self.tp_mesh.shape[pmesh.DATA_AXIS]
+            if b % dp != 0:
+                raise ValueError(
+                    f"data-parallel serving needs batch ({b}) divisible "
+                    f"by the dp mesh axis ({dp}); adjust "
+                    f"num_images_per_prompt / the prompt batch")
+            bs = pmesh.batch_sharding(self.tp_mesh)
+            latents = jax.device_put(latents, bs)
+            ph_idx_dev = jax.device_put(ph_idx_dev, bs)
+            if inputs_embeds.shape[0] == b:  # per-sample prompt embeds
+                inputs_embeds = jax.device_put(inputs_embeds, bs)
         common = (latents, jnp.asarray(pixel), inputs_embeds,
-                  jnp.asarray(ph_idx_np, jnp.int32),
+                  ph_idx_dev,
                   jnp.asarray(uncond_ids)[None], class_embed, noise_rng)
         lora_extra = (self.lora_bank,) if self.lora_bank is not None else ()
         extra = ()

@@ -64,6 +64,10 @@ def parse_args():
                              "kernels sharded over a tp mesh axis, flash "
                              "attention head-sharded via shard_map "
                              "(beyond reference parity)")
+    parser.add_argument("--data_parallel_serving", action="store_true",
+                        help="shard the sampling batch over the mesh's "
+                             "dp axis (all remaining devices after "
+                             "--tensor_parallel); batch must divide dp")
     parser.add_argument("--int8", action="store_true",
                         help="int8-quantize the offset-folded UNet kernels "
                              "and serve the matmul/conv path on the int8 "
@@ -137,13 +141,15 @@ def build_pipeline(args) -> StableDiffusionE4TPipeline:
     scheduler = SCHEDULER_MAPPING[args.scheduler_type](
         base["schedule_config"])
     tp_mesh = None
-    if args.tensor_parallel > 1:
+    dp_serving = getattr(args, "data_parallel_serving", False)
+    if args.tensor_parallel > 1 or dp_serving:
         from e4t_diffusion_tpu.parallel import mesh as pmesh
 
         tp_mesh = pmesh.get_mesh(tp=args.tensor_parallel)
         params["unet"] = pmesh.apply_tensor_parallel(params["unet"], tp_mesh)
-        print(f"tensor-parallel serving: UNet kernels sharded over "
-              f"tp={args.tensor_parallel}")
+        print(f"parallel serving mesh: dp={tp_mesh.shape[pmesh.DATA_AXIS]} "
+              f"x tp={args.tensor_parallel}"
+              + (" (batch dp-sharded)" if dp_serving else ""))
     lora_bank = None
     if args.lora_weights:
         from e4t_diffusion_tpu.models import lora
@@ -159,7 +165,8 @@ def build_pipeline(args) -> StableDiffusionE4TPipeline:
         already_added_placeholder_token=True, tp_mesh=tp_mesh,
         int8=("static" if args.int8 and args.int8_static_act
               else args.int8),
-        lora_bank=lora_bank, lora_scale=args.lora_scale)
+        lora_bank=lora_bank, lora_scale=args.lora_scale,
+        dp_shard_batch=dp_serving)
     print("loaded pipeline")
     return pipe
 

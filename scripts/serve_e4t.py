@@ -54,6 +54,9 @@ def parse_args():
     parser.add_argument("--dtype", type=str, default="auto",
                         choices=["auto", "bf16", "fp32"])
     parser.add_argument("--tensor_parallel", type=int, default=1)
+    parser.add_argument("--data_parallel_serving", action="store_true",
+                        help="shard each serving batch over the dp mesh "
+                             "axis (batch_size must divide dp)")
     parser.add_argument("--int8", action="store_true")
     parser.add_argument("--int8_static_act", action="store_true")
     parser.add_argument("--lora_weights", type=str, default=None)
