@@ -90,6 +90,151 @@ def preprocess_image(image) -> np.ndarray:
     return 2.0 * arr - 1.0
 
 
+def _tree_max_into(full: dict, partial) -> dict:
+    """Elementwise-max a possibly PARTIAL calib tree into ``full``.
+
+    The non-CFG tap call early-exits after the UNet mid block, so its
+    calib collection covers only the encoder-half sites; the cond pass
+    covers every site. Walking ``partial`` (instead of tree_map over
+    both) makes the merge total-vs-partial safe."""
+    out = dict(full)
+    for k, v in partial.items():
+        if isinstance(v, dict) or hasattr(v, "items"):
+            out[k] = _tree_max_into(full[k], v)
+        else:
+            out[k] = jnp.maximum(full[k], v)
+    return out
+
+
+def _build_denoise_loop(modules: E4TModules, scheduler, num_steps: int,
+                        guidance_scale: float, domain_embed_scale: float,
+                        eta: float, collect_calib: bool):
+    """The ONE denoise-loop construction, shared by sampling
+    (make_sample_fn) and activation-range calibration
+    (make_calibration_fn) so the two can never diverge. Returns
+    ``run_loop(params_eff, text_params, e4t_params, latents,
+    pixel_values, inputs_embeds, placeholder_idx, uncond_ids,
+    class_embed, noise_rng) -> (final_latents, amax-or-None)`` where
+    ``params_eff`` are the fully folded (and possibly quantized) UNet
+    kernels. With ``collect_calib`` the UNet applies run with a mutable
+    ``calib`` collection (sown by the quant drop-ins) and the per-site
+    abs-max is max-reduced across both CFG passes and all steps in the
+    scan carry."""
+    do_cfg = guidance_scale > 1.0
+    state0 = scheduler.init(num_steps)
+    timesteps = state0["timesteps"]
+    stochastic = getattr(scheduler, "stochastic", False) or eta > 0.0
+    step_kwargs = {"eta": eta} if (eta > 0.0
+                                   and isinstance(scheduler, DDIMScheduler)
+                                   ) else {}
+
+    def run_loop(params_eff, text_params, e4t_params, latents, pixel_values,
+                 inputs_embeds, placeholder_idx, uncond_ids, class_embed,
+                 noise_rng):
+        # ---- hoisted (once per sampling run) --------------------------
+        if hasattr(scheduler, "init_noise_sigma"):
+            latents = latents * scheduler.init_noise_sigma(state0).astype(
+                latents.dtype)
+        uncond_states, _ = modules.text_encoder.apply(
+            {"params": text_params}, uncond_ids)
+        bsz = latents.shape[0]
+        uncond_b = jnp.broadcast_to(
+            uncond_states, (bsz, *uncond_states.shape[1:]))
+        pixel_b = jnp.broadcast_to(pixel_values,
+                                   (bsz, *pixel_values.shape[1:]))
+        clip_feats = modules.e4t_encoder.apply(
+            {"params": e4t_params}, pixel_b,
+            method=E4TEncoder.encode_image)
+
+        state = state0
+        if hasattr(scheduler, "init_carry"):
+            state = scheduler.init_carry(state0, latents.shape, latents.dtype)
+
+        def unet_apply(x, t_b, ctx, **kwargs):
+            if collect_calib:
+                out, v = modules.unet.apply({"params": params_eff}, x, t_b,
+                                            ctx, mutable=["calib"], **kwargs)
+                return out, v["calib"]
+            return modules.unet.apply({"params": params_eff}, x, t_b, ctx,
+                                      **kwargs), None
+
+        if collect_calib:
+            # collection structure without FLOPs, to seed the scan carry
+            # (the cond pass covers every site each step, so the full-
+            # forward tree is the right superset)
+            shapes = jax.eval_shape(
+                lambda p, x, t, c: modules.unet.apply(
+                    {"params": p}, x, t, c, mutable=["calib"]),
+                params_eff, latents, jnp.zeros((bsz,), jnp.int32), uncond_b)
+            amax0 = jax.tree_util.tree_map(
+                lambda _: jnp.zeros((), jnp.float32), shapes[1]["calib"])
+            carry0 = (state, latents, amax0)
+        else:
+            carry0 = (state, latents)
+
+        def body(carry, i):
+            if collect_calib:
+                state, latents, amax = carry
+            else:
+                state, latents = carry
+            t = timesteps[i]
+            t_b = jnp.broadcast_to(t, (bsz,))
+            latents_in = scheduler.scale_model_input(state, i, latents)
+
+            # E4T tap on the "" states (reference pipeline:191). Under CFG
+            # the uncond full pass shares its down+mid computation with the
+            # tap, so one "with_eps" call yields both eps_uncond and the tap
+            # — mathematically identical to the reference's separate
+            # encoder-half + batch-doubled full pass, one encoder-half
+            # cheaper per step.
+            if do_cfg:
+                (eps_u, tap), c1 = unet_apply(
+                    latents_in, t_b, uncond_b,
+                    return_encoder_outputs="with_eps")
+            else:
+                tap, c1 = unet_apply(latents_in, t_b, uncond_b,
+                                     return_encoder_outputs=True)
+            unet_feats = pool_encoder_features(tap)
+            domain_embed = modules.e4t_encoder.apply(
+                {"params": e4t_params}, clip_feats, unet_feats,
+                method=E4TEncoder.fuse)
+            word = class_embed[None] + domain_embed_scale * domain_embed
+            embeds = jnp.broadcast_to(
+                inputs_embeds, (bsz, *inputs_embeds.shape[1:]))
+            embeds = embeds.at[jnp.arange(bsz), placeholder_idx].set(
+                word.astype(embeds.dtype))
+            cond_states, _ = modules.text_encoder.apply(
+                {"params": text_params}, inputs_embeds=embeds)
+
+            eps_c, c2 = unet_apply(latents_in, t_b,
+                                   cond_states.astype(uncond_b.dtype))
+            if do_cfg:
+                eps = eps_u + guidance_scale * (eps_c - eps_u)
+            else:
+                eps = eps_c
+            if collect_calib:
+                # c1 is PARTIAL in the non-CFG case (the tap call
+                # early-exits after the mid block); c2 is always total
+                amax = _tree_max_into(_tree_max_into(amax, c2), c1)
+            noise = (jax.random.normal(jax.random.fold_in(noise_rng, i),
+                                       latents.shape, latents.dtype)
+                     if stochastic else None)
+            state, latents = scheduler.step(state, i, eps, latents,
+                                            noise=noise, **step_kwargs)
+            next_carry = ((state, latents, amax) if collect_calib
+                          else (state, latents))
+            return next_carry, None
+
+        final, _ = jax.lax.scan(body, carry0, jnp.arange(len(timesteps)))
+        if collect_calib:
+            _, latents, amax = final
+            return latents, amax
+        _, latents = final
+        return latents, None
+
+    return run_loop
+
+
 def make_sample_fn(modules: E4TModules, scheduler, num_inference_steps: int,
                    guidance_scale: float, domain_embed_scale: float,
                    return_latents: bool = False, eta: float = 0.0,
@@ -100,17 +245,19 @@ def make_sample_fn(modules: E4TModules, scheduler, num_inference_steps: int,
 
     Static: modules, scheduler, step count, guidance, embed scale.
     Traced: all params, latents, pixel values, prompt embeddings.
-    ``tp_mesh``: a (dp, tp) mesh for tensor-parallel serving — UNet
-    params sharded via parallel.mesh.tensor_parallel_specs; flash
-    attention runs head-sharded under shard_map
+    ``tp_mesh``: a (dp, tp) mesh for parallel serving — UNet params
+    sharded via parallel.mesh.tensor_parallel_specs; flash attention
+    runs head-sharded under shard_map
     (ops/attention.head_sharded_attention).
     ``int8``: quantize the offset-folded UNet kernels to int8 once per
     run and serve the UNet matmul/conv path on the int8 MXU
-    (ops/quant.py); not composable with ``tp_mesh``. ``int8="static"``
-    additionally uses calibrated static activation scales — the jitted
-    fn then takes an extra trailing argument, the ``act_amax`` tree
-    from ``make_calibration_fn`` — and skips the per-call activation
-    abs-max reductions (~3 ms/UNet-fwd measured).
+    (ops/quant.py); composes with a dp-only mesh (batch-sharded
+    serving) but not with tp>1 (tensor_parallel_specs addresses plain
+    kernel leaves). ``int8="static"`` additionally uses calibrated
+    static activation scales — the jitted fn then takes an extra
+    trailing argument, the ``act_amax`` tree from
+    ``make_calibration_fn`` — and skips the per-call activation abs-max
+    reductions (~3 ms/UNet-fwd measured).
     ``lora_scale``: when set, the jitted fn takes a LoRA bank
     (models/lora.py) as a further trailing argument, folded into the
     effective kernels after the offsets (kernel*(1+O) + scale*down@up —
@@ -119,18 +266,19 @@ def make_sample_fn(modules: E4TModules, scheduler, num_inference_steps: int,
     """
     static_act = int8 == "static"
     if int8:
-        assert tp_mesh is None, "--int8 and --tensor_parallel don't compose"
+        if tp_mesh is not None:
+            from e4t_diffusion_tpu.parallel.mesh import TENSOR_AXIS
+
+            assert tp_mesh.shape[TENSOR_AXIS] == 1, \
+                "--int8 and --tensor_parallel don't compose " \
+                "(dp-only meshes are fine)"
         from e4t_diffusion_tpu.models.unet import _fused_qkv_enabled
 
         assert not _fused_qkv_enabled(), \
             "E4T_FUSED_QKV reads raw kernel leaves"
-    do_cfg = guidance_scale > 1.0
-    state0 = scheduler.init(num_inference_steps)
-    timesteps = state0["timesteps"]
-    stochastic = getattr(scheduler, "stochastic", False) or eta > 0.0
-    step_kwargs = {"eta": eta} if (eta > 0.0
-                                   and isinstance(scheduler, DDIMScheduler)
-                                   ) else {}
+    run_loop = _build_denoise_loop(modules, scheduler, num_inference_steps,
+                                   guidance_scale, domain_embed_scale, eta,
+                                   collect_calib=False)
 
     @jax.jit
     def sample(unet_params, offsets, vae_params, text_params, e4t_params,
@@ -158,10 +306,6 @@ def make_sample_fn(modules: E4TModules, scheduler, num_inference_steps: int,
         it = iter(extra)
         act_amax = next(it) if static_act else None
         lora_bank = next(it) if lora_scale is not None else None
-        # ---- hoisted (once per sampling run) --------------------------
-        if hasattr(scheduler, "init_noise_sigma"):
-            latents = latents * scheduler.init_noise_sigma(state0).astype(
-                latents.dtype)
         params_eff = wo.fold_offset_bank(unet_params, offsets)
         if lora_bank is not None:
             from e4t_diffusion_tpu.models import lora as lora_mod
@@ -173,69 +317,10 @@ def make_sample_fn(modules: E4TModules, scheduler, num_inference_steps: int,
             from e4t_diffusion_tpu.ops.quant import quantize_params
 
             params_eff = quantize_params(params_eff, act_amax=act_amax)
-        uncond_states, _ = modules.text_encoder.apply(
-            {"params": text_params}, uncond_ids)
-        bsz = latents.shape[0]
-        uncond_b = jnp.broadcast_to(
-            uncond_states, (bsz, *uncond_states.shape[1:]))
-        pixel_b = jnp.broadcast_to(pixel_values,
-                                   (bsz, *pixel_values.shape[1:]))
-        clip_feats = modules.e4t_encoder.apply(
-            {"params": e4t_params}, pixel_b,
-            method=E4TEncoder.encode_image)
 
-        state = state0
-        if hasattr(scheduler, "init_carry"):
-            state = scheduler.init_carry(state0, latents.shape, latents.dtype)
-
-        def body(carry, i):
-            state, latents = carry
-            t = timesteps[i]
-            t_b = jnp.broadcast_to(t, (bsz,))
-            latents_in = scheduler.scale_model_input(state, i, latents)
-
-            # E4T tap on the "" states (reference pipeline:191). Under CFG
-            # the uncond full pass shares its down+mid computation with the
-            # tap, so one "with_eps" call yields both eps_uncond and the tap
-            # — mathematically identical to the reference's separate
-            # encoder-half + batch-doubled full pass, one encoder-half
-            # cheaper per step.
-            if do_cfg:
-                eps_u, tap = modules.unet.apply(
-                    {"params": params_eff}, latents_in, t_b, uncond_b,
-                    return_encoder_outputs="with_eps")
-            else:
-                tap = modules.unet.apply(
-                    {"params": params_eff}, latents_in, t_b, uncond_b,
-                    return_encoder_outputs=True)
-            unet_feats = pool_encoder_features(tap)
-            domain_embed = modules.e4t_encoder.apply(
-                {"params": e4t_params}, clip_feats, unet_feats,
-                method=E4TEncoder.fuse)
-            word = class_embed[None] + domain_embed_scale * domain_embed
-            embeds = jnp.broadcast_to(
-                inputs_embeds, (bsz, *inputs_embeds.shape[1:]))
-            embeds = embeds.at[jnp.arange(bsz), placeholder_idx].set(
-                word.astype(embeds.dtype))
-            cond_states, _ = modules.text_encoder.apply(
-                {"params": text_params}, inputs_embeds=embeds)
-
-            eps_c = modules.unet.apply({"params": params_eff}, latents_in,
-                                       t_b, cond_states.astype(uncond_b.dtype))
-            if do_cfg:
-                eps = eps_u + guidance_scale * (eps_c - eps_u)
-            else:
-                eps = eps_c
-            noise = (jax.random.normal(jax.random.fold_in(noise_rng, i),
-                                       latents.shape, latents.dtype)
-                     if stochastic else None)
-            state, latents = scheduler.step(state, i, eps, latents,
-                                            noise=noise, **step_kwargs)
-            return (state, latents), None
-
-        (state, latents), _ = jax.lax.scan(
-            body, (state, latents), jnp.arange(len(timesteps)))
-
+        latents, _ = run_loop(params_eff, text_params, e4t_params, latents,
+                              pixel_values, inputs_embeds, placeholder_idx,
+                              uncond_ids, class_embed, noise_rng)
         if return_latents:
             return latents
         scaling = modules.vae.config.scaling_factor
@@ -256,36 +341,34 @@ def make_sample_fn(modules: E4TModules, scheduler, num_inference_steps: int,
 def make_calibration_fn(modules: E4TModules, scheduler, num_calib_steps: int,
                         guidance_scale: float, domain_embed_scale: float,
                         eta: float = 0.0,
-                        lora_scale: Optional[float] = None):
+                        lora_scale: Optional[float] = None,
+                        tp_mesh=None):
     """Activation-range calibration for static-act int8 serving
-    (ops/quant.py). Builds a jitted full-precision ``num_calib_steps``
-    sampling run with the same loop structure as ``make_sample_fn``; the
-    quant drop-ins sow each UNet matmul/conv site's input abs-max into a
-    ``calib`` collection, max-reduced across the two CFG UNet calls and
-    across steps in the scan carry. Returns the amax tree to pass as the
-    trailing argument of an ``int8="static"`` sample fn.
+    (ops/quant.py): a jitted full-precision ``num_calib_steps`` sampling
+    run built from the SAME loop body as make_sample_fn
+    (_build_denoise_loop, collect_calib=True). Returns the amax tree to
+    pass as the trailing argument of an ``int8="static"`` sample fn.
 
     A short trajectory (8 steps default) spans the full sigma range, so
     the recorded ranges cover the 50-step serving run; activations that
-    still exceed them clip (headroom knob: quantize_params).
-    """
-    do_cfg = guidance_scale > 1.0
-    state0 = scheduler.init(num_calib_steps)
-    timesteps = state0["timesteps"]
-    stochastic = getattr(scheduler, "stochastic", False) or eta > 0.0
-    step_kwargs = {"eta": eta} if (eta > 0.0
-                                   and isinstance(scheduler, DDIMScheduler)
-                                   ) else {}
+    still exceed them clip (margin knob: E4T_INT8_CALIB_HEADROOM, see
+    quantize_params). ``tp_mesh``: pass the serving mesh so attention
+    runs under the same shard_map specs as serving (required for
+    dp-sharded calibration inputs)."""
+    run_loop = _build_denoise_loop(modules, scheduler, num_calib_steps,
+                                   guidance_scale, domain_embed_scale, eta,
+                                   collect_calib=True)
 
     @jax.jit
     def calibrate(unet_params, offsets, text_params, e4t_params,
                   latents, pixel_values, inputs_embeds, placeholder_idx,
                   uncond_ids, class_embed, noise_rng, *extra):
+        import contextlib
+
+        from e4t_diffusion_tpu.ops.attention import head_sharded_attention
+
         assert len(extra) == int(lora_scale is not None), \
             "pass the LoRA bank iff lora_scale is set"
-        if hasattr(scheduler, "init_noise_sigma"):
-            latents = latents * scheduler.init_noise_sigma(state0).astype(
-                latents.dtype)
         params_eff = wo.fold_offset_bank(unet_params, offsets)
         if lora_scale is not None:
             from e4t_diffusion_tpu.models import lora as lora_mod
@@ -293,70 +376,11 @@ def make_calibration_fn(modules: E4TModules, scheduler, num_calib_steps: int,
             # calibrate on the same effective kernels serving will use
             params_eff = lora_mod.fold_lora_bank(params_eff, extra[0],
                                                  lora_scale)
-        uncond_states, _ = modules.text_encoder.apply(
-            {"params": text_params}, uncond_ids)
-        bsz = latents.shape[0]
-        uncond_b = jnp.broadcast_to(
-            uncond_states, (bsz, *uncond_states.shape[1:]))
-        pixel_b = jnp.broadcast_to(pixel_values,
-                                   (bsz, *pixel_values.shape[1:]))
-        clip_feats = modules.e4t_encoder.apply(
-            {"params": e4t_params}, pixel_b,
-            method=E4TEncoder.encode_image)
-
-        state = state0
-        if hasattr(scheduler, "init_carry"):
-            state = scheduler.init_carry(state0, latents.shape, latents.dtype)
-
-        # collection structure without FLOPs, to seed the scan carry
-        shapes = jax.eval_shape(
-            lambda p, x, t, c: modules.unet.apply(
-                {"params": p}, x, t, c, mutable=["calib"]),
-            params_eff, latents, jnp.zeros((bsz,), jnp.int32), uncond_b)
-        amax0 = jax.tree_util.tree_map(
-            lambda _: jnp.zeros((), jnp.float32), shapes[1]["calib"])
-
-        def body(carry, i):
-            state, latents, amax = carry
-            t = timesteps[i]
-            t_b = jnp.broadcast_to(t, (bsz,))
-            latents_in = scheduler.scale_model_input(state, i, latents)
-            if do_cfg:
-                (eps_u, tap), v1 = modules.unet.apply(
-                    {"params": params_eff}, latents_in, t_b, uncond_b,
-                    return_encoder_outputs="with_eps", mutable=["calib"])
-            else:
-                tap, v1 = modules.unet.apply(
-                    {"params": params_eff}, latents_in, t_b, uncond_b,
-                    return_encoder_outputs=True, mutable=["calib"])
-            unet_feats = pool_encoder_features(tap)
-            domain_embed = modules.e4t_encoder.apply(
-                {"params": e4t_params}, clip_feats, unet_feats,
-                method=E4TEncoder.fuse)
-            word = class_embed[None] + domain_embed_scale * domain_embed
-            embeds = jnp.broadcast_to(
-                inputs_embeds, (bsz, *inputs_embeds.shape[1:]))
-            embeds = embeds.at[jnp.arange(bsz), placeholder_idx].set(
-                word.astype(embeds.dtype))
-            cond_states, _ = modules.text_encoder.apply(
-                {"params": text_params}, inputs_embeds=embeds)
-            eps_c, v2 = modules.unet.apply(
-                {"params": params_eff}, latents_in, t_b,
-                cond_states.astype(uncond_b.dtype), mutable=["calib"])
-            eps = (eps_u + guidance_scale * (eps_c - eps_u) if do_cfg
-                   else eps_c)
-            amax = jax.tree_util.tree_map(
-                lambda a, u, c: jnp.maximum(a, jnp.maximum(u, c)),
-                amax, v1["calib"], v2["calib"])
-            noise = (jax.random.normal(jax.random.fold_in(noise_rng, i),
-                                       latents.shape, latents.dtype)
-                     if stochastic else None)
-            state, latents = scheduler.step(state, i, eps, latents,
-                                            noise=noise, **step_kwargs)
-            return (state, latents, amax), None
-
-        (_, _, amax), _ = jax.lax.scan(
-            body, (state, latents, amax0), jnp.arange(len(timesteps)))
+        with (head_sharded_attention(tp_mesh) if tp_mesh is not None
+              else contextlib.nullcontext()):
+            _, amax = run_loop(params_eff, text_params, e4t_params, latents,
+                               pixel_values, inputs_embeds, placeholder_idx,
+                               uncond_ids, class_embed, noise_rng)
         return amax
 
     def run(*args):
@@ -454,8 +478,12 @@ class StableDiffusionE4TPipeline:
         prompt embeddings and placeholder indices — N prompts cost one
         batch-N run, the batch-8 serving sweet spot, instead of N runs.
         Per-sample compute is batch-independent (per-sample GroupNorm/
-        attention), so batched output == per-prompt runs exactly
-        (tests/test_pipeline.py)."""
+        attention), and each prompt's block gets the SAME seed-derived
+        initial noise its standalone run would draw, so for
+        deterministic schedulers batched output == per-prompt runs
+        (tests/test_pipeline.py). Stochastic schedulers (euler_ancestral
+        / DDPM / eta>0) fold per-batch noise indices and so deviate from
+        standalone runs — seed-reproducible, just not run-splittable."""
         # reference parity (/root/reference/e4t/pipeline_stable_diffusion_e4t.py:151)
         assert negative_prompt is None, "negative_prompt is not supported"
         modules = self.modules
@@ -483,9 +511,17 @@ class StableDiffusionE4TPipeline:
         b = len(prompts) * num_images_per_prompt
         if latents is None:
             rng = jax.random.PRNGKey(0 if seed is None else seed)
-            latents = jax.random.normal(
-                rng, (b, ucfg.in_channels, height // vae_scale,
-                      width // vae_scale), jnp.float32)
+            shape1 = (num_images_per_prompt, ucfg.in_channels,
+                      height // vae_scale, width // vae_scale)
+            if len(prompts) > 1:
+                # same per-prompt noise as a standalone run with this
+                # seed (a standalone call draws the identical (per,...)
+                # normal from the same key), tiled across prompts
+                latents = jnp.tile(jax.random.normal(rng, shape1,
+                                                     jnp.float32),
+                                   (len(prompts), 1, 1, 1))
+            else:
+                latents = jax.random.normal(rng, shape1, jnp.float32)
         latents = jnp.asarray(latents)
 
         key = (scheduler.__class__.__name__, num_inference_steps,
@@ -537,7 +573,8 @@ class StableDiffusionE4TPipeline:
                     os.environ.get("E4T_INT8_CALIB_STEPS", "8"))
                 cfn = make_calibration_fn(modules, scheduler, calib_steps,
                                           guidance_scale, des, eta=eta,
-                                          lora_scale=self.lora_scale)
+                                          lora_scale=self.lora_scale,
+                                          tp_mesh=self.tp_mesh)
                 self._act_amax = cfn(
                     self.params["unet"], self.params["offsets"],
                     text_params, self.params["e4t"], *common, *lora_extra)

@@ -129,20 +129,6 @@ def _site_to_torch(site: str) -> str:
     return ".".join(out)
 
 
-def _torch_to_site(path: str) -> str:
-    parts = path.split(".")
-    out = []
-    i = 0
-    while i < len(parts):
-        if i + 1 < len(parts) and parts[i + 1].isdigit():
-            out.append(f"{parts[i]}_{parts[i + 1]}")
-            i += 2
-        else:
-            out.append(parts[i])
-            i += 1
-    return ".".join(out)
-
-
 def lora_to_torch(bank: Dict) -> Dict:
     """Bank -> diffusers-0.14 ``save_attn_procs`` state dict:
     ``<torch site>.processor.<adapter>.{down,up}.weight`` with (out, in)

@@ -93,7 +93,7 @@ def is_quantized(leaf) -> bool:
 
 
 def quantize_params(tree: dict, act_amax: Optional[dict] = None,
-                    act_headroom: float = 1.0) -> dict:
+                    act_headroom: Optional[float] = None) -> dict:
     """Rewrite every matmul/conv ``kernel`` leaf (ndim 2 or 4) to its
     int8 form. Norm scales (1-D) and biases are untouched.
 
@@ -103,7 +103,16 @@ def quantize_params(tree: dict, act_amax: Optional[dict] = None,
     also gets a static activation scale ``"sa" = amax*headroom/127`` and
     the drop-ins skip the per-call abs-max (activations beyond the
     calibrated range clip; headroom > 1 trades resolution for margin).
+    ``act_headroom`` defaults to ``E4T_INT8_CALIB_HEADROOM`` (1.0) —
+    read at trace time, so serving callers (pipeline._sample_body) get
+    the knob without plumbing.
     """
+    if act_headroom is None:
+        import os
+
+        act_headroom = float(os.environ.get("E4T_INT8_CALIB_HEADROOM",
+                                            "1.0"))
+
     def walk(node, calib):
         out = {}
         for k, v in node.items():

@@ -6,9 +6,14 @@ batches of DISTINCT prompts (the pipeline batches per-sample prompt
 embeddings — scripts at batch 8 hit the measured v5e serving sweet
 spot). One compiled program serves every full batch; the trailing
 partial batch is padded to the same shape (extras dropped) so serving
-never recompiles mid-stream. All serving options compose: --int8 /
---int8_static_act (calibration runs once, untimed, at load),
---lora_weights, --tensor_parallel.
+never recompiles mid-stream. Every prompt is validated BEFORE the first
+render (a typo on line 900 must not kill an hours-long run). The first
+batch — which absorbs jit compile and, with --int8_static_act, the
+one-time activation-range calibration — is reported separately; the
+aggregate metric is steady-state throughput over the remaining batches.
+Serving options compose: --int8 / --int8_static_act, --lora_weights,
+--tensor_parallel, --data_parallel_serving (int8 composes with dp, not
+with tp>1).
 
 Usage:
   python scripts/serve_e4t.py --pretrained_model_name_or_path DIR \
@@ -110,11 +115,21 @@ def main():
     assert args.prompts_file, "--prompts_file or --interactive required"
     prompts = read_prompts(args.prompts_file)
     assert prompts, f"no prompts in {args.prompts_file}"
+    bad = []
+    for i, p in enumerate(prompts):
+        try:
+            pipe._prepare_prompt(p)  # placeholder-token presence etc.
+        except ValueError as e:
+            bad.append(f"  prompt {i}: {p!r} ({e})")
+    if bad:
+        sys.exit("invalid prompts (fix before serving):\n"
+                 + "\n".join(bad))
     bs = max(1, args.batch_size)
 
     manifest_path = os.path.join(args.output_dir, "manifest.jsonl")
     n_done = 0
-    total_wall = 0.0
+    first_wall = steady_wall = 0.0
+    steady_images = 0
     with open(manifest_path, "w") as manifest:
         for start in range(0, len(prompts), bs):
             chunk = prompts[start:start + bs]
@@ -122,26 +137,38 @@ def main():
             # padded outputs are dropped below
             padded = chunk + [chunk[-1]] * (bs - len(chunk))
             imgs, dt = render(padded, args.seed + start)
-            total_wall += dt
+            if start == 0:  # absorbs jit compile + int8 calibration
+                first_wall = dt
+            else:
+                steady_wall += dt
+                steady_images += len(chunk)
             for i, (prompt, img) in enumerate(zip(chunk, imgs)):
                 path = os.path.join(args.output_dir, f"{start + i:05d}.png")
                 img.save(path)
                 manifest.write(json.dumps(
                     {"prompt": prompt, "file": path,
-                     "batch_wall_s": round(dt, 3)}) + "\n")
+                     "batch_wall_s": round(dt, 3),
+                     "warmup_batch": start == 0}) + "\n")
             n_done += len(chunk)
             print(f"[serve] {n_done}/{len(prompts)} "
                   f"({len(chunk)}/{len(padded)} kept, {dt:.2f}s batch)",
                   file=sys.stderr)
 
+    if steady_images:
+        value, note = steady_images / steady_wall, \
+            "steady-state (first batch excluded: jit compile + calibration)"
+    else:
+        value, note = n_done / first_wall, \
+            "single batch incl. jit compile + calibration"
     print(json.dumps({
         "metric": "e4t_serve_images_per_sec",
-        "value": round(n_done / total_wall, 4),
+        "value": round(value, 4),
         "unit": "images/sec",
         "images": n_done,
         "batch_size": bs,
-        "wall_s": round(total_wall, 2),
-        "note": "first batch includes jit compile unless cached",
+        "first_batch_wall_s": round(first_wall, 2),
+        "steady_wall_s": round(steady_wall, 2),
+        "note": note,
     }))
 
 

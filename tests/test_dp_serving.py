@@ -49,6 +49,7 @@ def world(tmp_path_factory):
         tok_dir, model_max_length=L)
     params["text"] = resize_token_embeddings(params["text"],
                                              len(tokenizer) + 1)
+    tokenizer.add_tokens("*s")  # all tests pass already_added=True
     e4t_config = AttributeDict({
         "placeholder_token": "*s",
         "domain_class_token": "face",
@@ -67,8 +68,9 @@ def test_dp_serving_matches_single_device(world):
 
     lats = np.asarray(jax.random.normal(jax.random.PRNGKey(5),
                                         (dp, 4, 8, 8), jnp.float32))
-    ref_pipe = StableDiffusionE4TPipeline(modules, params, tokenizer,
-                                          e4t_config)
+    ref_pipe = StableDiffusionE4TPipeline(
+        modules, params, tokenizer, e4t_config,
+        already_added_placeholder_token=True)
     ref = ref_pipe("a photo of *s", image, num_inference_steps=2, seed=3,
                    num_images_per_prompt=dp, latents=lats)
 
@@ -104,6 +106,37 @@ def test_dp_serving_batched_prompts(world):
     out = dp_pipe(prompts, image, num_inference_steps=2, seed=3,
                   latents=lats)
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_dp_serving_composes_with_int8(world):
+    """int8 UNet serving on a dp-only mesh (tp=1) runs (the tp>1-only
+    assert must not fire) and tracks the single-device int8 output.
+
+    Not bitwise: the dynamic per-tensor activation scale is the same
+    global max either way, but x/s sits on int8 rounding cliffs, and
+    the dp program's different fusion flips ulp-close codes which then
+    compound — so the bar is the same tracking-closeness standard as
+    int8-vs-bf16 (tests/test_quant.py), not allclose."""
+    modules, params, tokenizer, e4t_config, image = world
+    mesh = pmesh.get_mesh(tp=1)
+    lats = np.asarray(jax.random.normal(jax.random.PRNGKey(7),
+                                        (8, 4, 8, 8), jnp.float32))
+    ref_pipe = StableDiffusionE4TPipeline(
+        modules, params, tokenizer, e4t_config,
+        already_added_placeholder_token=True, int8=True)
+    ref = ref_pipe("a photo of *s", image, num_inference_steps=2, seed=3,
+                   num_images_per_prompt=8, latents=lats)
+    dp_pipe = StableDiffusionE4TPipeline(
+        modules, params, tokenizer, e4t_config,
+        already_added_placeholder_token=True, tp_mesh=mesh,
+        dp_shard_batch=True, int8=True)
+    out = dp_pipe("a photo of *s", image, num_inference_steps=2, seed=3,
+                  num_images_per_prompt=8, latents=lats)
+    assert out.shape == ref.shape
+    corr = np.corrcoef(np.asarray(ref).ravel(),
+                       np.asarray(out).ravel())[0, 1]
+    assert corr > 0.99, corr
+    assert np.abs(np.asarray(out) - np.asarray(ref)).mean() < 0.02
 
 
 def test_dp_serving_batch_divisibility(world):

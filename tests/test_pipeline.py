@@ -108,6 +108,17 @@ def test_pipeline_batched_prompts_match_individual_runs(tiny_setup):
     assert not np.allclose(batched[0], batched[1])
 
 
+def test_pipeline_batched_prompts_seed_matches_standalone(tiny_setup):
+    """Without explicit latents, each prompt's block draws the SAME
+    seed-derived noise its standalone run would (round-2 review finding:
+    the batched path used to give prompt k>0 different latents)."""
+    pipe, image = tiny_setup
+    batched = pipe(["a photo of *s", "a *s face"], image,
+                   num_inference_steps=2, seed=9)
+    solo = pipe("a *s face", image, num_inference_steps=2, seed=9)
+    np.testing.assert_allclose(batched[1], solo[0], rtol=1e-4, atol=1e-4)
+
+
 def test_pipeline_batched_prompts_all_need_placeholder(tiny_setup):
     pipe, image = tiny_setup
     with pytest.raises(ValueError, match="placeholder"):

@@ -234,6 +234,42 @@ def test_int8_sampling_close_to_bf16(tiny_unet_world):
     assert np.abs(ref - q).mean() < 0.05
 
 
+def test_int8_static_act_no_cfg(tiny_unet_world):
+    """guidance_scale <= 1.0 (inference.py's DEFAULT) takes the non-CFG
+    path whose tap call early-exits after the mid block — its calib
+    collection is PARTIAL. Regression: the max-merge must handle the
+    partial tree (round-2 review finding: tree_map crashed here)."""
+    from e4t_diffusion_tpu.diffusion.pipeline import (make_calibration_fn,
+                                                      make_sample_fn)
+    from e4t_diffusion_tpu.diffusion.schedulers import DDIMScheduler
+    from e4t_diffusion_tpu.models.clip_text import embed_tokens
+
+    modules, params = tiny_unet_world
+    tcfg = modules.text_encoder.config
+    L = tcfg.max_position_embeddings
+    ids = jnp.zeros((1, L), jnp.int32).at[0, 3].set(7)
+    embeds = embed_tokens(params["text"], ids)
+    common = (jax.random.normal(jax.random.PRNGKey(0), (1, 4, 8, 8)),
+              jnp.zeros((1, 3, 32, 32)), embeds, jnp.asarray([3], jnp.int32),
+              jnp.zeros((1, L), jnp.int32),
+              embed_tokens(params["text"], jnp.asarray([[5]]))[0, 0],
+              jax.random.PRNGKey(1))
+    cfn = make_calibration_fn(modules, DDIMScheduler(), 4, 1.0, 0.1)
+    amax = cfn(params["unet"], params["offsets"], params["text"],
+               params["e4t"], *common)
+    amax_vals = np.asarray(
+        [np.asarray(v) for v in jax.tree_util.tree_leaves(amax)])
+    assert (amax_vals > 0).all()  # cond pass covers every site
+
+    args = (params["unet"], params["offsets"], params["vae"],
+            params["text"], params["e4t"], *common)
+    ref = np.asarray(make_sample_fn(modules, DDIMScheduler(), 4, 1.0,
+                                    0.1)(*args))
+    q = np.asarray(make_sample_fn(modules, DDIMScheduler(), 4, 1.0, 0.1,
+                                  int8="static")(*args, amax))
+    assert np.corrcoef(ref.ravel(), q.ravel())[0, 1] > 0.97
+
+
 def test_int8_static_act_sampling_close_to_bf16(tiny_unet_world):
     """Static-activation quality proxy: calibrate ranges on a SHORT
     (4-step) trajectory, serve 8 steps with int8="static" — the range
