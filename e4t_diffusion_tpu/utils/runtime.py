@@ -54,3 +54,42 @@ def setup_compilation_cache(path: str | None = None) -> None:
             jax.config.update("jax_traceback_in_locations_limit", 0)
     except Exception as e:  # cache is best-effort
         print(f"[runtime] compilation cache disabled: {e}")
+
+
+class GracefulShutdown:
+    """Preemption-aware shutdown: SIGTERM -> checkpoint at the next step
+    boundary.
+
+    TPU pod preemptions (and most cluster schedulers) deliver SIGTERM
+    with a grace window; the reference only handles Ctrl-C
+    (KeyboardInterrupt -> "Summoning checkpoint...",
+    /root/reference/pretrain_e4t.py:682-684). The handler just sets a
+    flag — the training loop polls ``requested`` after each optimization
+    step and exits through its normal save path, so the checkpoint is
+    always a consistent step boundary, never a mid-step core dump.
+    """
+
+    def __init__(self, signals=None):
+        import signal as _signal
+
+        self._signal = _signal
+        self.requested = False
+        self._received = None
+        self._prev = {}
+        for s in signals or (_signal.SIGTERM,):
+            self._prev[s] = _signal.signal(s, self._handle)
+
+    def _handle(self, signum, frame):
+        self.requested = True
+        self._received = signum
+
+    def restore(self) -> None:
+        for s, prev in self._prev.items():
+            self._signal.signal(s, prev)
+
+    def describe(self) -> str:
+        try:
+            name = self._signal.Signals(self._received).name
+        except Exception:
+            name = str(self._received)
+        return f"received {name}"

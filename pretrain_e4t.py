@@ -369,21 +369,37 @@ def main():
                       * jax.device_count())
     profile_dir = args.profile_dir or os.path.join(args.output_dir, "profile")
     profiling = False
+    # loop-invariant device constants, placed once
+    uncond_ids_dev = jax.device_put(
+        jnp.asarray(sampler.uncond_ids), pmesh.replicated(mesh))
+    class_token_dev = jax.device_put(
+        jnp.asarray(class_token_id, jnp.int32), pmesh.replicated(mesh))
+
+    def place(batch_np):
+        """Host->device placement for one micro-batch; runs ahead of the
+        consuming step via device_prefetch (device_put is async, so the
+        transfer overlaps the in-flight step's compute)."""
+        input_ids, ph_idx = sampler.sample(args.train_batch_size)
+        batch = pmesh.shard_batch({
+            "latents": None,
+            "pixel_values": batch_np["pixel_values"],
+            "input_ids": input_ids,
+            "placeholder_idx": ph_idx,
+        }, mesh)
+        batch["uncond_ids"] = uncond_ids_dev
+        batch["class_token_id"] = class_token_dev
+        batch["latents"] = None
+        return batch, batch_np
+
+    from e4t_diffusion_tpu.data.prefetch import device_prefetch
+    from e4t_diffusion_tpu.utils.runtime import GracefulShutdown
+
+    # TPU pod preemptions deliver SIGTERM with a grace window: poll the
+    # flag at step boundaries and exit through the normal save path
+    # (the reference only handled Ctrl-C)
+    shutdown = GracefulShutdown()
     try:
-        for batch_np in loader:
-            input_ids, ph_idx = sampler.sample(args.train_batch_size)
-            batch = pmesh.shard_batch({
-                "latents": None,
-                "pixel_values": batch_np["pixel_values"],
-                "input_ids": input_ids,
-                "placeholder_idx": ph_idx,
-            }, mesh)
-            batch["uncond_ids"] = jax.device_put(
-                jnp.asarray(sampler.uncond_ids), pmesh.replicated(mesh))
-            batch["class_token_id"] = jax.device_put(
-                jnp.asarray(class_token_id, jnp.int32),
-                pmesh.replicated(mesh))
-            batch["latents"] = None
+        for batch, batch_np in device_prefetch(loader, place, depth=2):
             state, metrics = step_fn(state, frozen, batch,
                                      jax.random.fold_in(rng, micro_step))
             micro_step += 1
@@ -420,10 +436,19 @@ def main():
             if pending is not None:
                 log_metrics(*pending)
             pending = (global_step, metrics)
+            if shutdown.requested:
+                print(f"Preemption ({shutdown.describe()}) — "
+                      f"checkpointing at step {global_step}")
+                if is_main:
+                    path = artifacts.save_train_state(
+                        args.output_dir, global_step, state, rng)
+                    print(f"Saved state to {path}")
+                break
             if global_step >= args.max_train_steps:
                 break
     except KeyboardInterrupt:
         print("Summoning checkpoint...")
+    shutdown.restore()
     if pending is not None:
         try:
             log_metrics(*pending)

@@ -117,3 +117,72 @@ def test_pretrain_tuning_inference_chain(tiny_params, tmp_path):  # noqa: F811
           "--output", grid], cwd=repo)
     img = Image.open(grid)
     assert img.size == (32, 32)
+
+
+@pytest.mark.slow
+def test_pretrain_sigterm_checkpoints(tiny_params, tmp_path):  # noqa: F811
+    """Preemption handling (beyond reference parity): SIGTERM mid-run
+    must checkpoint at the next step boundary and exit 0 — TPU pod
+    preemptions deliver SIGTERM with a grace window."""
+    import signal
+    import threading
+    import time
+
+    modules, params = tiny_params
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sd_dir = _write_sd_base(str(tmp_path / "sd"), modules, params)
+    make_tiny_tokenizer_files(
+        os.path.join(sd_dir, "tokenizer"),
+        extra_words=["photo", "of", "a", "the", "face"])
+    data_dir = tmp_path / "data"
+    os.makedirs(data_dir)
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        Image.fromarray(rng.integers(0, 255, (48, 48, 3), dtype=np.uint8)
+                        ).save(data_dir / f"{i}.png")
+
+    out_dir = str(tmp_path / "pre_sigterm")
+    proc = subprocess.Popen(
+        [sys.executable, "pretrain_e4t.py",
+         "--pretrained_model_name_or_path", sd_dir,
+         "--train_image_dataset", str(data_dir),
+         "--domain_class_token", "face",
+         "--prompt_template", "normal",
+         "--resolution", "32", "--train_batch_size", "2",
+         "--max_train_steps", "500", "--checkpointing_steps", "1000",
+         "--log_steps", "1000", "--report_to", "tensorboard",
+         "--output_dir", out_dir, "--vit_config", "tiny", "--seed", "0"],
+        cwd=repo, env=ENV, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT)
+    buf = bytearray()
+
+    def _drain():
+        for chunk in iter(lambda: proc.stdout.read(256), b""):
+            buf.extend(chunk)
+
+    t = threading.Thread(target=_drain, daemon=True)
+    t.start()
+    # wait for the first optimization step (tqdm prints a rate after it)
+    deadline = time.time() + 900
+    while time.time() < deadline:
+        snap = bytes(buf)
+        if b"s/it" in snap or b"it/s" in snap:
+            break
+        assert proc.poll() is None, \
+            f"pretrain died early:\n{snap[-4000:].decode(errors='replace')}"
+        time.sleep(2)
+    else:
+        proc.kill()
+        raise AssertionError("no training step completed before deadline")
+
+    proc.send_signal(signal.SIGTERM)
+    rc = proc.wait(timeout=600)
+    t.join(timeout=10)
+    out = bytes(buf).decode(errors="replace")
+    assert rc == 0, f"exit {rc}:\n{out[-4000:]}"
+    assert "Preemption" in out, out[-4000:]
+    entries = os.listdir(out_dir)
+    assert any(e.startswith("checkpoint-") for e in entries), entries
+    # final weights were saved through the normal path too
+    step_dirs = [e for e in entries if e.isdigit()]
+    assert step_dirs, entries

@@ -165,3 +165,36 @@ def test_threaded_loader_finite_source_drains(tmp_path):
     # single-threaded batcher)
     assert len(batches) == 2
     assert batches[0]["pixel_values"].shape == (4, 3, 64, 64)
+
+
+def test_device_prefetch_order_and_statefulness():
+    """device_prefetch preserves iteration order, calls place() in
+    order (stateful placement like prompt sampling is safe), keeps at
+    most `depth` items ahead, and drains tails shorter than depth."""
+    from e4t_diffusion_tpu.data.prefetch import device_prefetch
+
+    calls = []
+
+    def place(x):
+        calls.append(x)
+        return x * 10
+
+    out = list(device_prefetch(range(5), place, depth=2))
+    assert out == [0, 10, 20, 30, 40]
+    assert calls == [0, 1, 2, 3, 4]
+
+    # place() runs ahead of the consumer by at most `depth`
+    calls.clear()
+    gen = device_prefetch(range(5), place, depth=2)
+    first = next(gen)
+    assert first == 0 and calls == [0, 1]  # depth staged before a yield
+    second = next(gen)
+    assert second == 10 and calls == [0, 1, 2]  # refilled behind consumer
+    assert list(gen) == [20, 30, 40]
+
+    assert list(device_prefetch(range(1), place, depth=4)) == [0]
+    assert list(device_prefetch([], place, depth=2)) == []
+
+    import pytest
+    with pytest.raises(ValueError):
+        next(device_prefetch(range(3), place, depth=0))

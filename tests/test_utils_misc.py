@@ -86,3 +86,23 @@ def test_image_grid_and_load(tmp_path):
         load_image("https://example.com/a.png")
     arr = to_pil(np.zeros((2, 3, 8, 8), np.float32))
     assert len(arr) == 2 and arr[0].size == (8, 8)
+
+
+def test_graceful_shutdown_flag_and_restore():
+    """SIGTERM sets the checkpoint-at-next-boundary flag without raising;
+    restore() reinstates the previous handler."""
+    import os
+    import signal
+
+    from e4t_diffusion_tpu.utils.runtime import GracefulShutdown
+
+    prev = signal.getsignal(signal.SIGTERM)
+    g = GracefulShutdown()
+    try:
+        assert not g.requested
+        os.kill(os.getpid(), signal.SIGTERM)  # delivered synchronously
+        assert g.requested
+        assert "SIGTERM" in g.describe()
+    finally:
+        g.restore()
+    assert signal.getsignal(signal.SIGTERM) is prev
