@@ -251,9 +251,11 @@ def make_sample_fn(modules: E4TModules, scheduler, num_inference_steps: int,
     (ops/attention.head_sharded_attention).
     ``int8``: quantize the offset-folded UNet kernels to int8 once per
     run and serve the UNet matmul/conv path on the int8 MXU
-    (ops/quant.py); composes with a dp-only mesh (batch-sharded
-    serving) but not with tp>1 (tensor_parallel_specs addresses plain
-    kernel leaves). ``int8="static"`` additionally uses calibrated
+    (ops/quant.py); composes with dp and tp meshes — quantization runs
+    INSIDE the jit on the already-sharded folded kernels, and XLA
+    partitions the per-channel scale reductions exactly (column-sharded
+    kernels reduce shard-locally; row-sharded ones all-reduce-max over
+    the input axis). ``int8="static"`` additionally uses calibrated
     static activation scales — the jitted fn then takes an extra
     trailing argument, the ``act_amax`` tree from
     ``make_calibration_fn`` — and skips the per-call activation abs-max
@@ -266,12 +268,6 @@ def make_sample_fn(modules: E4TModules, scheduler, num_inference_steps: int,
     """
     static_act = int8 == "static"
     if int8:
-        if tp_mesh is not None:
-            from e4t_diffusion_tpu.parallel.mesh import TENSOR_AXIS
-
-            assert tp_mesh.shape[TENSOR_AXIS] == 1, \
-                "--int8 and --tensor_parallel don't compose " \
-                "(dp-only meshes are fine)"
         from e4t_diffusion_tpu.models.unet import _fused_qkv_enabled
 
         assert not _fused_qkv_enabled(), \

@@ -31,9 +31,12 @@ hoisting big loop-invariant elementwise work, see the E4T_FUSED_QKV
 negative result in CLAUDE.md).
 
 Enable per call site: ``make_sample_fn(..., int8=True)``,
-``inference.py --int8``, ``E4T_BENCH_INT8=1 python bench.py``. Not
-composable with --tensor_parallel (tensor_parallel_specs addresses
-plain kernel leaves; make_sample_fn asserts the combination away).
+``inference.py --int8``, ``E4T_BENCH_INT8=1 python bench.py``.
+Composes with --data_parallel_serving and --tensor_parallel: the
+quantization runs inside the jit on the already-sharded folded kernels
+(tensor_parallel_specs only ever addresses the plain input kernels),
+and XLA partitions the scale reductions exactly
+(tests/test_dp_serving.py).
 Accuracy: see tests/test_quant.py for the error bounds asserted on
 random nets; real-checkpoint quality validation needs staged weights.
 Measured on v5e-1 (512px DDIM-50, batch 8): 1.581 img/s/chip vs 1.422

@@ -71,8 +71,8 @@ def parse_args():
     parser.add_argument("--int8", action="store_true",
                         help="int8-quantize the offset-folded UNet kernels "
                              "and serve the matmul/conv path on the int8 "
-                             "MXU (ops/quant.py; not composable with "
-                             "--tensor_parallel)")
+                             "MXU (ops/quant.py; composes with "
+                             "--tensor_parallel/--data_parallel_serving)")
     parser.add_argument("--batch_prompts", action="store_true",
                         help="run all '::'-separated prompts as ONE "
                              "batched sampling run (per-sample prompt "

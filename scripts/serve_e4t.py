@@ -12,8 +12,7 @@ batch — which absorbs jit compile and, with --int8_static_act, the
 one-time activation-range calibration — is reported separately; the
 aggregate metric is steady-state throughput over the remaining batches.
 Serving options compose: --int8 / --int8_static_act, --lora_weights,
---tensor_parallel, --data_parallel_serving (int8 composes with dp, not
-with tp>1).
+--tensor_parallel, --data_parallel_serving.
 
 Usage:
   python scripts/serve_e4t.py --pretrained_model_name_or_path DIR \

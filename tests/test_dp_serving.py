@@ -139,6 +139,35 @@ def test_dp_serving_composes_with_int8(world):
     assert np.abs(np.asarray(out) - np.asarray(ref)).mean() < 0.02
 
 
+def test_tp_serving_composes_with_int8(world):
+    """int8 with tp=2 (kernels column/row-sharded BEFORE the in-jit
+    quantization): per-out-channel weight scales are exact under both
+    sharding styles (column-sharded reduces shard-locally, row-sharded
+    all-reduce-maxes over the input axis), so numerics track the
+    single-device int8 run to fusion-ulp level."""
+    modules, params, tokenizer, e4t_config, image = world
+    mesh = pmesh.get_mesh(tp=2)
+    lats = np.asarray(jax.random.normal(jax.random.PRNGKey(8),
+                                        (4, 4, 8, 8), jnp.float32))
+    ref_pipe = StableDiffusionE4TPipeline(
+        modules, params, tokenizer, e4t_config,
+        already_added_placeholder_token=True, int8=True)
+    ref = ref_pipe("a photo of *s", image, num_inference_steps=2, seed=3,
+                   num_images_per_prompt=4, latents=lats)
+    params_tp = dict(params)
+    params_tp["unet"] = pmesh.apply_tensor_parallel(params["unet"], mesh)
+    tp_pipe = StableDiffusionE4TPipeline(
+        modules, params_tp, tokenizer, e4t_config,
+        already_added_placeholder_token=True, tp_mesh=mesh,
+        dp_shard_batch=True, int8=True)
+    out = tp_pipe("a photo of *s", image, num_inference_steps=2, seed=3,
+                  num_images_per_prompt=4, latents=lats)
+    corr = np.corrcoef(np.asarray(ref).ravel(),
+                       np.asarray(out).ravel())[0, 1]
+    assert corr > 0.99, corr
+    assert np.abs(np.asarray(out) - np.asarray(ref)).mean() < 0.02
+
+
 def test_dp_serving_batch_divisibility(world):
     modules, params, tokenizer, e4t_config, image = world
     mesh = pmesh.get_mesh(tp=1)
