@@ -319,10 +319,47 @@ def load_e4t_weights(artifact_dir: str, base: Dict[str, Any],
 # Orbax resumable training state
 # ---------------------------------------------------------------------------
 
-def save_train_state(output_dir: str, step: int, state, rng) -> str:
+_ASYNC_CKPTR = None
+
+
+def _async_checkpointer():
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        import orbax.checkpoint as ocp
+
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_for_checkpoints() -> None:
+    """Block until any in-flight async save has committed. Call before
+    process exit, before restoring, and before a final sync save."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
+def save_train_state(output_dir: str, step: int, state, rng,
+                     async_save: bool = False) -> str:
+    """Orbax checkpoint of the full train state.
+
+    ``async_save``: hand Orbax the on-device arrays and return while the
+    D2H transfer + write run on background threads — the step loop keeps
+    training through the save (the expensive part of the sync path is
+    the blocking jax.device_get of params+optimizer state). A new save
+    first waits for the previous one (a natural barrier that still
+    overlaps the whole inter-checkpoint window); callers must
+    wait_for_checkpoints() before exiting.
+    """
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.join(output_dir, f"checkpoint-{step}"))
+    if async_save:
+        ckptr = _async_checkpointer()
+        ckptr.wait_until_finished()  # one save in flight at a time
+        payload = {"step": state.step, "trainable": state.trainable,
+                   "opt_state": state.opt_state, "rng": rng}
+        ckptr.save(path, args=ocp.args.StandardSave(payload), force=True)
+        return path
     ckptr = ocp.StandardCheckpointer()
     payload = {"step": jax.device_get(state.step),
                "trainable": jax.device_get(state.trainable),
@@ -348,6 +385,7 @@ def find_latest_checkpoint(output_dir: str) -> Optional[str]:
 def restore_train_state(path: str, state, rng) -> Tuple[Any, Any, int]:
     import orbax.checkpoint as ocp
 
+    wait_for_checkpoints()  # same-process restore after an async save
     ckptr = ocp.StandardCheckpointer()
     template = {"step": jax.device_get(state.step),
                 "trainable": jax.device_get(state.trainable),

@@ -94,6 +94,11 @@ def parse_args():
     parser.add_argument("--max_train_steps", type=int, default=30000)
     parser.add_argument("--dataloader_num_workers", type=int, default=0)
     parser.add_argument("--checkpointing_steps", type=int, default=10000)
+    parser.add_argument("--async_checkpointing", action="store_true",
+                        help="Orbax async saves: the periodic train-state "
+                             "checkpoint's D2H transfer + write run on "
+                             "background threads while training continues "
+                             "(beyond reference parity)")
     parser.add_argument("--resume_from_checkpoint", type=str, default=None)
     parser.add_argument("--log_steps", type=int, default=1000)
     parser.add_argument("--enable_xformers_memory_efficient_attention",
@@ -422,8 +427,11 @@ def main():
                 save_weights(global_step)
                 if is_main:
                     path = artifacts.save_train_state(
-                        args.output_dir, global_step, state, rng)
-                    print(f"Saved state to {path}")
+                        args.output_dir, global_step, state, rng,
+                        async_save=args.async_checkpointing)
+                    print(f"Saved state to {path}"
+                          + (" (async)" if args.async_checkpointing
+                             else ""))
             if global_step == 1 or global_step % args.log_steps == 0:
                 if is_main:
                     sample(batch_np["pixel_values"], global_step)
@@ -440,6 +448,8 @@ def main():
                 print(f"Preemption ({shutdown.describe()}) — "
                       f"checkpointing at step {global_step}")
                 if is_main:
+                    # sync: must be committed before the grace window ends
+                    artifacts.wait_for_checkpoints()
                     path = artifacts.save_train_state(
                         args.output_dir, global_step, state, rng)
                     print(f"Saved state to {path}")
@@ -462,6 +472,7 @@ def main():
         for k, v in timer.metrics().items():
             print(f"  {k}: {v:.4f}")
     save_weights(global_step)
+    artifacts.wait_for_checkpoints()  # flush any in-flight async save
     tracker.finish()
 
 

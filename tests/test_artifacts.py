@@ -173,6 +173,32 @@ def test_orbax_train_state_roundtrip(tiny_params, tmp_path):
     np.testing.assert_array_equal(np.asarray(rng2), np.asarray(rng))
 
 
+def test_orbax_async_train_state_roundtrip(tiny_params, tmp_path):
+    """async_save hands Orbax the live arrays and returns while the
+    write runs in background threads; after wait_for_checkpoints the
+    checkpoint is committed, restorable, and a second async save (which
+    first drains the in-flight one) works too."""
+    from e4t_diffusion_tpu.training.train_step import (
+        E4TTrainConfig, create_train_state, make_optimizer)
+
+    modules, params = tiny_params
+    cfg = E4TTrainConfig()
+    tx = make_optimizer(1e-3, cfg)
+    state, frozen = create_train_state(params, cfg, tx)
+    rng = jax.random.PRNGKey(3)
+    out = str(tmp_path / "out")
+    path = artifacts.save_train_state(out, 5, state, rng, async_save=True)
+    path2 = artifacts.save_train_state(out, 9, state, rng, async_save=True)
+    artifacts.wait_for_checkpoints()
+    assert artifacts.find_latest_checkpoint(out) == path2
+
+    state2, rng2, _ = artifacts.restore_train_state(path, state, rng)
+    _trees_equal(state2.trainable, state.trainable)
+    state3, rng3, _ = artifacts.restore_train_state(path2, state, rng)
+    _trees_equal(state3.opt_state, state.opt_state)
+    np.testing.assert_array_equal(np.asarray(rng2), np.asarray(rng))
+
+
 def test_find_latest_checkpoint_ordering(tmp_path):
     for s in (100, 20, 3):
         os.makedirs(tmp_path / f"checkpoint-{s}")
