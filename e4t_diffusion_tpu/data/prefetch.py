@@ -40,9 +40,14 @@ def device_prefetch(iterator: Iterable[T], place: Callable[[T], U],
     while True:
         while not exhausted and len(buf) < depth:
             try:
-                buf.append(place(next(it)))
+                item = next(it)
             except StopIteration:
                 exhausted = True
+            else:
+                # place() runs OUTSIDE the except scope: a StopIteration
+                # escaping stateful placement code must propagate as an
+                # error, not silently end the epoch early
+                buf.append(place(item))
         if not buf:
             return
         yield buf.popleft()

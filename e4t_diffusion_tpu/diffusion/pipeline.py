@@ -239,8 +239,7 @@ def make_sample_fn(modules: E4TModules, scheduler, num_inference_steps: int,
                    guidance_scale: float, domain_embed_scale: float,
                    return_latents: bool = False, eta: float = 0.0,
                    tp_mesh=None, int8: Union[bool, str] = False,
-                   lora_scale: Optional[float] = None,
-                   output_uint8: bool = False):
+                   lora_scale: Optional[float] = None):
     """Build the jit-compiled end-to-end sampling function.
 
     Static: modules, scheduler, step count, guidance, embed scale.
@@ -324,14 +323,17 @@ def make_sample_fn(modules: E4TModules, scheduler, num_inference_steps: int,
                                    latents / scaling,
                                    method=AutoencoderKL.decode)
         images = jnp.clip(images / 2.0 + 0.5, 0.0, 1.0)
-        if output_uint8:
-            # quantize to the final PNG bytes ON DEVICE: the host fetch
-            # is 4x smaller than f32 (same rounding as the host path)
-            images = jnp.round(images.astype(jnp.float32) * 255.0).astype(
-                jnp.uint8)
         return images
 
     return sample
+
+
+@jax.jit
+def _to_uint8(images):
+    """PNG bytes ON DEVICE (a tiny separate program, so np/pil output
+    types share ONE compiled sampler): the host fetch is 4x smaller
+    than f32, with the same rounding as the old host-side path."""
+    return jnp.round(images.astype(jnp.float32) * 255.0).astype(jnp.uint8)
 
 
 def make_calibration_fn(modules: E4TModules, scheduler, num_calib_steps: int,
@@ -522,14 +524,13 @@ class StableDiffusionE4TPipeline:
 
         key = (scheduler.__class__.__name__, num_inference_steps,
                float(guidance_scale), float(des), b, float(eta),
-               height, width, output_type, self.lora_scale)
+               height, width, output_type == "latent", self.lora_scale)
         if key not in self._fn_cache:
             self._fn_cache[key] = make_sample_fn(
                 modules, scheduler, num_inference_steps, guidance_scale, des,
                 return_latents=(output_type == "latent"), eta=eta,
                 tp_mesh=self.tp_mesh, int8=self.int8,
-                lora_scale=self.lora_scale,
-                output_uint8=(output_type == "pil"))
+                lora_scale=self.lora_scale)
         fn = self._fn_cache[key]
 
         text_params = self.params["text"]
@@ -578,9 +579,9 @@ class StableDiffusionE4TPipeline:
         images = fn(self.params["unet"], self.params["offsets"],
                     self.params["vae"], text_params, self.params["e4t"],
                     *common, *extra, *lora_extra)
-        images = np.asarray(jax.device_get(images))
-        if output_type == "pil":  # device already rounded to uint8
+        if output_type == "pil":  # round to uint8 on device (4x fetch)
             from PIL import Image
 
-            return [Image.fromarray(a) for a in images.transpose(0, 2, 3, 1)]
-        return images
+            arr = np.asarray(jax.device_get(_to_uint8(images)))
+            return [Image.fromarray(a) for a in arr.transpose(0, 2, 3, 1)]
+        return np.asarray(jax.device_get(images))

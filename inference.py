@@ -67,7 +67,8 @@ def parse_args():
     parser.add_argument("--data_parallel_serving", action="store_true",
                         help="shard the sampling batch over the mesh's "
                              "dp axis (all remaining devices after "
-                             "--tensor_parallel); batch must divide dp")
+                             "--tensor_parallel); the batch must be "
+                             "divisible by dp")
     parser.add_argument("--int8", action="store_true",
                         help="int8-quantize the offset-folded UNet kernels "
                              "and serve the matmul/conv path on the int8 "

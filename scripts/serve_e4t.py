@@ -60,7 +60,7 @@ def parse_args():
     parser.add_argument("--tensor_parallel", type=int, default=1)
     parser.add_argument("--data_parallel_serving", action="store_true",
                         help="shard each serving batch over the dp mesh "
-                             "axis (batch_size must divide dp)")
+                             "axis (batch_size must be divisible by dp)")
     parser.add_argument("--int8", action="store_true")
     parser.add_argument("--int8_static_act", action="store_true")
     parser.add_argument("--lora_weights", type=str, default=None)
@@ -94,6 +94,13 @@ def main():
         return imgs, time.perf_counter() - t0
 
     if args.interactive:
+        # under dp serving the batch must be divisible by dp: replicate
+        # the single prompt across the mesh and keep the first image
+        n_rep = 1
+        if args.data_parallel_serving and pipe.tp_mesh is not None:
+            from e4t_diffusion_tpu.parallel import mesh as pmesh
+
+            n_rep = pipe.tp_mesh.shape[pmesh.DATA_AXIS]
         print("interactive mode — one prompt per line (Ctrl-D to exit):")
         idx = 0
         for line in sys.stdin:
@@ -101,7 +108,7 @@ def main():
             if not prompt:
                 continue
             try:
-                imgs, dt = render([prompt], args.seed + idx)
+                imgs, dt = render([prompt] * n_rep, args.seed + idx)
             except ValueError as e:  # e.g. missing placeholder token
                 print(f"error: {e}")
                 continue
