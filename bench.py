@@ -139,6 +139,8 @@ def run_bench(batch: int, fallback: bool = False):
     float(jnp.sum(out[-1].astype(jnp.float32)) if isinstance(out, tuple)
           else jnp.sum(out.astype(jnp.float32)))
 
+    if repeats == 0:  # compile/warmup only (scripts/precompile.py)
+        return
     times = []
     for r in range(repeats):
         # vary the latents each repeat to defeat relay-side same-args

@@ -1,0 +1,88 @@
+"""Warm the persistent compile cache for the standard programs.
+
+Full-size cold compiles are expensive on this class of hardware
+(inference 50-step scan ~8 min, phase-2 train step ~15-17 min;
+CLAUDE.md), and the cache (utils/runtime.setup_compilation_cache) is
+keyed so only real computation changes invalidate it. This utility
+front-loads the compiles — run it once after deploying a code change
+(or after a relay outage wiped nothing but you want compiles off the
+serving path), and every later CLI/bench invocation starts at full
+speed.
+
+Programs warmed (each is compile-only: dummy zero weights, one
+dispatch, result discarded):
+  serve_bf16     512px DDIM-50 sampler, batch 8 (the headline config)
+  serve_int8     same, dynamic-int8 UNet
+  serve_int8s    same, calibrated-static int8 (+ its calibration run)
+  tune_step      phase-2 train step at the bench_tuning config
+  pretrain_step  phase-1 train step at the bench_pretrain config
+
+Select a subset: E4T_PRECOMPILE=serve_bf16,serve_int8s. Batch/res via
+the usual E4T_BENCH_* knobs. Training-step warms import the bench
+scripts' builders so the compiled programs are byte-identical to what
+the benches/CLIs run.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _want(name: str) -> bool:
+    only = os.environ.get("E4T_PRECOMPILE", "")
+    return (not only) or name in only.split(",")
+
+
+def _serve(kind: str) -> None:
+    os.environ["E4T_BENCH_INT8"] = {"serve_bf16": "0", "serve_int8": "1",
+                                    "serve_int8s": "static"}[kind]
+    os.environ["E4T_BENCH_REPEATS"] = "0"  # compile + one warmup dispatch
+    import bench
+
+    bench.run_bench(int(os.environ.get("E4T_BENCH_BATCH", "8")))
+
+
+def _tune_step() -> None:
+    import scripts.bench_tuning as bt
+
+    bt.main()
+
+
+def _pretrain_step() -> None:
+    import scripts.bench_pretrain as bp
+
+    bp.main()
+
+
+def main():
+    from e4t_diffusion_tpu.utils.runtime import setup_compilation_cache
+
+    setup_compilation_cache()
+    jobs = [("serve_bf16", lambda: _serve("serve_bf16")),
+            ("serve_int8", lambda: _serve("serve_int8")),
+            ("serve_int8s", lambda: _serve("serve_int8s")),
+            ("tune_step", _tune_step),
+            ("pretrain_step", _pretrain_step)]
+    failures = 0
+    for name, job in jobs:
+        if not _want(name):
+            continue
+        t0 = time.perf_counter()
+        try:
+            job()
+            print(f"[precompile] {name}: ok "
+                  f"({time.perf_counter() - t0:.0f}s)")
+        except Exception as e:
+            # a runtime failure (e.g. the degraded-relay training OOM
+            # mode) still leaves the compiled executable in the cache —
+            # report and keep warming the rest
+            failures += 1
+            print(f"[precompile] {name}: compile done, run failed "
+                  f"({time.perf_counter() - t0:.0f}s): "
+                  f"{str(e)[:200]}")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
