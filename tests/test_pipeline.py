@@ -119,6 +119,19 @@ def test_pipeline_batched_prompts_seed_matches_standalone(tiny_setup):
     np.testing.assert_allclose(batched[1], solo[0], rtol=1e-4, atol=1e-4)
 
 
+def test_pipeline_batched_stochastic_seed_reproducible(tiny_setup):
+    """Stochastic schedulers deviate from standalone runs in batched
+    mode (documented) but must stay seed-reproducible: same call twice
+    gives identical images."""
+    pipe, image = tiny_setup
+    kwargs = dict(num_inference_steps=2, seed=13,
+                  scheduler_type="euler_ancestral")
+    a = pipe(["a photo of *s", "a *s face"], image, **kwargs)
+    b = pipe(["a photo of *s", "a *s face"], image, **kwargs)
+    np.testing.assert_array_equal(a, b)
+    assert not np.allclose(a[0], a[1])  # prompts differ
+
+
 def test_pipeline_batched_prompts_all_need_placeholder(tiny_setup):
     pipe, image = tiny_setup
     with pytest.raises(ValueError, match="placeholder"):
