@@ -21,7 +21,6 @@ numerics follow the reference loop (pipeline:181-222) step for step.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Optional, Sequence, Union
 
 import numpy as np
