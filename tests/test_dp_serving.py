@@ -168,6 +168,58 @@ def test_tp_serving_composes_with_int8(world):
     assert np.abs(np.asarray(out) - np.asarray(ref)).mean() < 0.02
 
 
+def test_static_act_int8_under_tp_mesh(world):
+    """int8='static' on a (dp, tp=2) mesh. With the SAME calibrated
+    scales injected into both pipelines, the tp serving path must track
+    the single-device one (isolates serving correctness; two
+    independently-calibrated deployments legitimately diverge more —
+    their 8-step calibration trajectories drift apart by compounded
+    fusion ulps, shifting every static rounding boundary)."""
+    modules, params, tokenizer, e4t_config, image = world
+    mesh = pmesh.get_mesh(tp=2)
+    lats = np.asarray(jax.random.normal(jax.random.PRNGKey(9),
+                                        (4, 4, 8, 8), jnp.float32))
+    ref_pipe = StableDiffusionE4TPipeline(
+        modules, params, tokenizer, e4t_config,
+        already_added_placeholder_token=True, int8="static")
+    ref = ref_pipe("a photo of *s", image, num_inference_steps=2, seed=3,
+                   num_images_per_prompt=4, latents=lats)
+    assert ref_pipe._act_amax is not None  # calibration ran lazily
+
+    params_tp = dict(params)
+    params_tp["unet"] = pmesh.apply_tensor_parallel(params["unet"], mesh)
+    tp_pipe = StableDiffusionE4TPipeline(
+        modules, params_tp, tokenizer, e4t_config,
+        already_added_placeholder_token=True, tp_mesh=mesh,
+        dp_shard_batch=True, int8="static")
+    tp_pipe._act_amax = ref_pipe._act_amax  # shared calibration
+    out = tp_pipe("a photo of *s", image, num_inference_steps=2, seed=3,
+                  num_images_per_prompt=4, latents=lats)
+    corr = np.corrcoef(np.asarray(ref).ravel(),
+                       np.asarray(out).ravel())[0, 1]
+    assert corr > 0.99, corr
+    assert np.abs(np.asarray(out) - np.asarray(ref)).mean() < 0.02
+
+
+def test_static_act_calibration_runs_under_tp_mesh(world):
+    """The lazy calibration path itself must execute under a tp mesh
+    (shard_map attention specs) and produce positive finite ranges."""
+    modules, params, tokenizer, e4t_config, image = world
+    mesh = pmesh.get_mesh(tp=2)
+    params_tp = dict(params)
+    params_tp["unet"] = pmesh.apply_tensor_parallel(params["unet"], mesh)
+    pipe = StableDiffusionE4TPipeline(
+        modules, params_tp, tokenizer, e4t_config,
+        already_added_placeholder_token=True, tp_mesh=mesh,
+        dp_shard_batch=True, int8="static")
+    out = pipe("a photo of *s", image, num_inference_steps=2, seed=3,
+               num_images_per_prompt=8)
+    assert np.isfinite(out).all()
+    amax = np.asarray([np.asarray(v) for v in
+                       jax.tree_util.tree_leaves(pipe._act_amax)])
+    assert (amax > 0).all() and np.isfinite(amax).all()
+
+
 def test_dp_serving_batch_divisibility(world):
     modules, params, tokenizer, e4t_config, image = world
     mesh = pmesh.get_mesh(tp=1)
