@@ -406,7 +406,7 @@ class StableDiffusionE4TPipeline:
                  already_added_placeholder_token: bool = False,
                  tp_mesh=None, int8: Union[bool, str] = False,
                  lora_bank=None, lora_scale: float = 1.0,
-                 dp_shard_batch: bool = False):
+                 dp_shard_batch: bool = False, act_scales=None):
         self.modules = modules
         self.params = params  # {"unet","offsets","vae","text","e4t"}
         self.tp_mesh = tp_mesh  # (dp, tp) mesh for tensor-parallel serving
@@ -417,9 +417,12 @@ class StableDiffusionE4TPipeline:
         self.dp_shard_batch = dp_shard_batch and tp_mesh is not None
         # int8 UNet serving (ops/quant.py): False | True (dynamic act
         # scales) | "static" (activation ranges calibrated once, on the
-        # first __call__, then reused for every later prompt)
+        # first __call__, then reused for every later prompt).
+        # ``act_scales``: a pre-recorded amax tree
+        # (quant.load_act_scales) — deployments that share it quantize
+        # identically instead of each re-calibrating.
         self.int8 = int8
-        self._act_amax = None
+        self._act_amax = act_scales
         # LoRA adapters (models/lora.py), folded after the offsets
         self.lora_bank = lora_bank
         self.lora_scale = lora_scale if lora_bank is not None else None

@@ -247,3 +247,49 @@ class Conv(nn.Module):
                               (self.features,), jnp.float32)
             y = y + bias.astype(self.dtype)
         return y
+
+
+# ---- calibration-scale persistence -------------------------------------
+
+def save_act_scales(act_amax: dict, path: str) -> None:
+    """Write a calibration amax tree (pipeline.make_calibration_fn) as
+    JSON, so a checkpoint's activation ranges ship as a deployment
+    artifact: every serving process then quantizes identically instead
+    of re-calibrating (two independent calibrations differ by compounded
+    trajectory ulps, which shifts static rounding boundaries — see
+    tests/test_dp_serving.py)."""
+    import json
+
+    flat = {}
+
+    def walk(node, prefix):
+        for k, v in node.items():
+            if isinstance(v, dict) or hasattr(v, "items"):
+                walk(v, prefix + (k,))
+            else:
+                flat["/".join(prefix + (k,))] = float(v)
+
+    walk(act_amax, ())
+    with open(path, "w") as f:
+        json.dump({"format": "e4t-act-amax-v1", "scales": flat}, f,
+                  indent=0, sort_keys=True)
+
+
+def load_act_scales(path: str) -> dict:
+    """Inverse of save_act_scales -> the nested amax tree (f32 jnp
+    scalars), ready for quantize_params(act_amax=...) or the
+    int8="static" sample fn's trailing argument."""
+    import json
+
+    with open(path) as f:
+        payload = json.load(f)
+    if payload.get("format") != "e4t-act-amax-v1":
+        raise ValueError(f"{path}: not an e4t-act-amax-v1 file")
+    tree: dict = {}
+    for key, v in payload["scales"].items():
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(v, jnp.float32)
+    return tree

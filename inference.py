@@ -94,6 +94,12 @@ def parse_args():
                              "prompt (E4T_INT8_CALIB_STEPS, default 8) "
                              "and skip the per-call activation abs-max "
                              "reductions for all prompts")
+    parser.add_argument("--act_scales", type=str, default=None,
+                        help="with --int8_static_act: JSON file of "
+                             "calibrated activation ranges. Loaded if it "
+                             "exists (deployments sharing it quantize "
+                             "identically); otherwise written after the "
+                             "first prompt's calibration")
     parser.add_argument("--output", type=str, default="grid.png")
     return parser.parse_args()
 
@@ -161,15 +167,33 @@ def build_pipeline(args) -> StableDiffusionE4TPipeline:
             modules.unet.config)
         print(f"loaded LoRA adapters ({len(lora_bank)} attention sites, "
               f"scale {args.lora_scale})")
+    act_scales = None
+    if getattr(args, "act_scales", None) and os.path.exists(args.act_scales):
+        from e4t_diffusion_tpu.ops import quant
+
+        act_scales = quant.load_act_scales(args.act_scales)
+        print(f"loaded activation ranges from {args.act_scales}")
     pipe = StableDiffusionE4TPipeline(
         modules, params, tokenizer, e4t_config, scheduler=scheduler,
         already_added_placeholder_token=True, tp_mesh=tp_mesh,
         int8=("static" if args.int8 and args.int8_static_act
               else args.int8),
         lora_bank=lora_bank, lora_scale=args.lora_scale,
-        dp_shard_batch=dp_serving)
+        dp_shard_batch=dp_serving, act_scales=act_scales)
     print("loaded pipeline")
     return pipe
+
+
+def maybe_save_act_scales(pipe, args) -> None:
+    """After the first generation: persist freshly calibrated ranges if
+    --act_scales names a file that didn't exist yet."""
+    if (getattr(args, "act_scales", None) and pipe._act_amax is not None
+            and not os.path.exists(args.act_scales)):
+        from e4t_diffusion_tpu.ops import quant
+
+        quant.save_act_scales(jax.device_get(pipe._act_amax),
+                              args.act_scales)
+        print(f"saved activation ranges to {args.act_scales}")
 
 
 def main():
@@ -201,6 +225,7 @@ def main():
                         seed=args.seed,
                         output_type="pil")
             all_images.extend(imgs)
+    maybe_save_act_scales(pipe, args)
     grid_image = image_grid(all_images, len(prompts),
                             args.num_images_per_prompt)
     grid_image.save(args.output)

@@ -63,6 +63,11 @@ def parse_args():
                              "axis (batch_size must be divisible by dp)")
     parser.add_argument("--int8", action="store_true")
     parser.add_argument("--int8_static_act", action="store_true")
+    parser.add_argument("--act_scales", type=str, default=None,
+                        help="JSON file of calibrated activation ranges "
+                             "(loaded if present, written after the "
+                             "first batch otherwise) — share it across "
+                             "replicas so they quantize identically")
     parser.add_argument("--lora_weights", type=str, default=None)
     parser.add_argument("--lora_scale", type=float, default=1.0)
     parser.add_argument("--output_dir", type=str, default="served")
@@ -77,7 +82,7 @@ def read_prompts(path):
 
 def main():
     args = parse_args()
-    from inference import build_pipeline
+    from inference import build_pipeline, maybe_save_act_scales
     from e4t_diffusion_tpu.utils.image import load_image
 
     pipe = build_pipeline(args)
@@ -91,6 +96,7 @@ def main():
                     guidance_scale=args.guidance_scale,
                     height=args.height, width=args.width,
                     seed=seed, output_type="pil")
+        maybe_save_act_scales(pipe, args)
         return imgs, time.perf_counter() - t0
 
     if args.interactive:

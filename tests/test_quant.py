@@ -234,6 +234,57 @@ def test_int8_sampling_close_to_bf16(tiny_unet_world):
     assert np.abs(ref - q).mean() < 0.05
 
 
+def test_act_scales_persistence_roundtrip(tiny_unet_world, tmp_path):
+    """save_act_scales/load_act_scales: f32 ranges roundtrip exactly
+    (via f64 JSON), so a deployment serving from the file quantizes
+    bit-identically to the one that calibrated."""
+    from e4t_diffusion_tpu.diffusion.pipeline import (make_calibration_fn,
+                                                      make_sample_fn)
+    from e4t_diffusion_tpu.diffusion.schedulers import DDIMScheduler
+    from e4t_diffusion_tpu.models.clip_text import embed_tokens
+
+    modules, params = tiny_unet_world
+    tcfg = modules.text_encoder.config
+    L = tcfg.max_position_embeddings
+    ids = jnp.zeros((1, L), jnp.int32).at[0, 3].set(7)
+    embeds = embed_tokens(params["text"], ids)
+    common = (jax.random.normal(jax.random.PRNGKey(0), (1, 4, 8, 8)),
+              jnp.zeros((1, 3, 32, 32)), embeds, jnp.asarray([3], jnp.int32),
+              jnp.zeros((1, L), jnp.int32),
+              embed_tokens(params["text"], jnp.asarray([[5]]))[0, 0],
+              jax.random.PRNGKey(1))
+    amax = make_calibration_fn(modules, DDIMScheduler(), 2, 7.5, 0.1)(
+        params["unet"], params["offsets"], params["text"], params["e4t"],
+        *common)
+    path = str(tmp_path / "scales.json")
+    quant.save_act_scales(jax.device_get(amax), path)
+    loaded = quant.load_act_scales(path)
+    flat_a = jax.tree_util.tree_leaves_with_path(amax)
+    flat_b = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(loaded)}
+    assert len(flat_a) == len(flat_b) > 0
+    for k, v in flat_a:
+        np.testing.assert_array_equal(np.float32(np.asarray(v)),
+                                      np.asarray(flat_b[jax.tree_util.keystr(k)]))
+
+    args = (params["unet"], params["offsets"], params["vae"],
+            params["text"], params["e4t"], *common)
+    fn = make_sample_fn(modules, DDIMScheduler(), 2, 7.5, 0.1,
+                        int8="static")
+    np.testing.assert_array_equal(np.asarray(fn(*args, amax)),
+                                  np.asarray(fn(*args, loaded)))
+
+    with pytest.raises(ValueError, match="e4t-act-amax-v1"):
+        import json
+
+        with open(path) as f:
+            payload = json.load(f)
+        payload["format"] = "bogus"
+        with open(path, "w") as f:
+            json.dump(payload, f)
+        quant.load_act_scales(path)
+
+
 def test_int8_static_act_no_cfg(tiny_unet_world):
     """guidance_scale <= 1.0 (inference.py's DEFAULT) takes the non-CFG
     path whose tap call early-exits after the mid block — its calib
