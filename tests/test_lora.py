@@ -193,6 +193,45 @@ def test_sampling_with_lora(tiny_world):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_lora_composes_with_int8_static(tiny_world):
+    """LoRA + int8='static': calibration folds the bank (same effective
+    kernels as serving), and the quantized run tracks the bf16 LoRA
+    run."""
+    from e4t_diffusion_tpu.diffusion.pipeline import (make_calibration_fn,
+                                                      make_sample_fn)
+    from e4t_diffusion_tpu.diffusion.schedulers import DDIMScheduler
+    from e4t_diffusion_tpu.models.clip_text import embed_tokens
+
+    modules, params = tiny_world
+    tcfg = modules.text_encoder.config
+    L = tcfg.max_position_embeddings
+    ids = jnp.zeros((1, L), jnp.int32).at[0, 3].set(7)
+    embeds = embed_tokens(params["text"], ids)
+    common = (jax.random.normal(jax.random.PRNGKey(0), (1, 4, 8, 8)),
+              jnp.zeros((1, 3, 32, 32)), embeds, jnp.asarray([3], jnp.int32),
+              jnp.zeros((1, L), jnp.int32),
+              embed_tokens(params["text"], jnp.asarray([[5]]))[0, 0],
+              jax.random.PRNGKey(1))
+    bank = lora.init_lora_bank(jax.random.PRNGKey(3),
+                               modules.unet.config, rank=2)
+    bank = jax.tree_util.tree_map(
+        lambda x: x + 0.05 * jax.random.normal(jax.random.PRNGKey(4),
+                                               x.shape), bank)
+    args = (params["unet"], params["offsets"], params["vae"],
+            params["text"], params["e4t"], *common)
+    ref = np.asarray(make_sample_fn(modules, DDIMScheduler(), 4, 7.5, 0.1,
+                                    lora_scale=1.0)(*args, bank))
+    amax = make_calibration_fn(modules, DDIMScheduler(), 4, 7.5, 0.1,
+                               lora_scale=1.0)(
+        params["unet"], params["offsets"], params["text"], params["e4t"],
+        *common, bank)
+    q = np.asarray(make_sample_fn(modules, DDIMScheduler(), 4, 7.5, 0.1,
+                                  int8="static", lora_scale=1.0)(
+        *args, amax, bank))
+    corr = np.corrcoef(ref.ravel(), q.ravel())[0, 1]
+    assert corr > 0.97, corr
+
+
 @pytest.fixture(scope="module")
 def tiny_world():
     from e4t_diffusion_tpu.diffusion.pipeline import E4TModules
