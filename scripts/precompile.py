@@ -56,8 +56,15 @@ def _pretrain_step() -> None:
 
 
 def main():
-    from e4t_diffusion_tpu.utils.runtime import setup_compilation_cache
+    import argparse
 
+    argparse.ArgumentParser(
+        description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter).parse_args()
+    from e4t_diffusion_tpu.utils.runtime import (apply_platform_override,
+                                                 setup_compilation_cache)
+
+    apply_platform_override()  # honor E4T_PLATFORM before backend init
     setup_compilation_cache()
     jobs = [("serve_bf16", lambda: _serve("serve_bf16")),
             ("serve_int8", lambda: _serve("serve_int8")),
