@@ -96,8 +96,9 @@ def main():
                     guidance_scale=args.guidance_scale,
                     height=args.height, width=args.width,
                     seed=seed, output_type="pil")
-        maybe_save_act_scales(pipe, args)
-        return imgs, time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        maybe_save_act_scales(pipe, args)  # outside the timed region
+        return imgs, dt
 
     if args.interactive:
         # under dp serving the batch must be divisible by dp: replicate
