@@ -256,14 +256,17 @@ class E4TDataLoader:
             self.num_samples, self.num_shards = get_dataset_size(source)
 
     def _raw_iter(self):
-        """Yields zero-arg decode thunks (callables -> HWC uint8 RGB) so
-        the expensive decode can run on worker threads."""
+        """Yields ``(source_id, thunk)`` pairs — a human-readable sample
+        identifier plus a zero-arg decode thunk (-> HWC uint8 RGB) — so
+        the expensive decode can run on worker threads and skip messages
+        can name the failing sample (advisor r2: bad-shard diagnosis)."""
         if self.use_tar:
             shards = expand_shards(self.source)
             it = iter_tar_shards(shards, self.process_index,
                                  self.process_count, self.seed)
-            for img in _shuffled(it, self.shuffle_buffer, self.seed):
-                yield lambda img=img: img
+            for n, img in enumerate(_shuffled(it, self.shuffle_buffer,
+                                              self.seed)):
+                yield f"tar sample #{n}", (lambda img=img: img)
         elif (os.path.isdir(self.source.split("::")[0])):
             files: List[str] = []
             for name in self.source.split("::"):
@@ -273,7 +276,8 @@ class E4TDataLoader:
             rng = np.random.default_rng(self.seed)
             while True:
                 for i in rng.permutation(len(files)):
-                    yield lambda p=files[int(i)]: load_image_rgb(p)
+                    p = files[int(i)]
+                    yield p, (lambda p=p: load_image_rgb(p))
         else:
             from datasets import load_dataset
 
@@ -282,23 +286,26 @@ class E4TDataLoader:
             if self.streaming:
                 ds = ds.shuffle(seed=self.seed, buffer_size=10000)
                 while True:
-                    for ex in ds:
-                        yield lambda ex=ex: np.asarray(
-                            ex["image"].convert("RGB"))
+                    for n, ex in enumerate(ds):
+                        yield (f"{self.source}[stream #{n}]",
+                               lambda ex=ex: np.asarray(
+                                   ex["image"].convert("RGB")))
             else:
                 self.num_samples = len(ds)
                 rng = np.random.default_rng(self.seed)
                 while True:
                     for i in rng.permutation(len(ds)):
-                        yield lambda i=int(i): np.asarray(
-                            ds[i]["image"].convert("RGB"))
+                        i = int(i)
+                        yield (f"{self.source}[{i}]",
+                               lambda i=i: np.asarray(
+                                   ds[i]["image"].convert("RGB")))
 
     def _image_iter(self) -> Iterator[np.ndarray]:
-        for thunk in self._raw_iter():
+        for src, thunk in self._raw_iter():
             try:
                 yield thunk()
             except Exception as e:
-                print(f"[data] skipping sample: {e}")
+                print(f"[data] skipping {src}: {e}")
 
     def _batch_iter(self) -> Iterator[Dict[str, np.ndarray]]:
         batch = []
@@ -361,8 +368,8 @@ class E4TDataLoader:
 
         def feeder():
             try:
-                for thunk in self._raw_iter():
-                    if not _put(thunk_q, thunk):
+                for src_thunk in self._raw_iter():
+                    if not _put(thunk_q, src_thunk):
                         return
             finally:
                 for _ in range(n):
@@ -373,15 +380,16 @@ class E4TDataLoader:
             try:
                 while not stop.is_set():
                     try:
-                        thunk = thunk_q.get(timeout=0.2)
+                        src_thunk = thunk_q.get(timeout=0.2)
                     except queue.Empty:
                         continue
-                    if thunk is None:
+                    if src_thunk is None:
                         return
+                    src, thunk = src_thunk
                     try:
                         item = transform(thunk())
                     except Exception as e:
-                        print(f"[data] skipping sample: {e}")
+                        print(f"[data] skipping {src}: {e}")
                         continue
                     if not _put(out_q, item):
                         return

@@ -95,10 +95,21 @@ def is_quantized(leaf) -> bool:
                                                     {"q", "s", "sa"})
 
 
+# Module subtrees kept in full precision by default (advisor r2):
+# standard diffusion PTQ keeps the first/last convs and the timestep
+# embedding MLP out of int8 — they are <0.5% of the FLOPs but touch the
+# eps head / raw-latent statistics directly. Override with
+# E4T_INT8_EXCLUDE (comma list of module names; empty = quantize all).
+DEFAULT_EXCLUDE = ("conv_in", "conv_out", "time_embedding")
+
+
 def quantize_params(tree: dict, act_amax: Optional[dict] = None,
-                    act_headroom: Optional[float] = None) -> dict:
+                    act_headroom: Optional[float] = None,
+                    exclude: Optional[tuple] = None) -> dict:
     """Rewrite every matmul/conv ``kernel`` leaf (ndim 2 or 4) to its
-    int8 form. Norm scales (1-D) and biases are untouched.
+    int8 form. Norm scales (1-D) and biases are untouched. Subtrees
+    whose module name is in ``exclude`` (default ``DEFAULT_EXCLUDE``)
+    stay full precision.
 
     ``act_amax``: a ``"calib"`` collection from a calibration run
     (pipeline.make_calibration_fn) — a tree mirroring ``tree`` whose
@@ -110,16 +121,22 @@ def quantize_params(tree: dict, act_amax: Optional[dict] = None,
     read at trace time, so serving callers (pipeline._sample_body) get
     the knob without plumbing.
     """
-    if act_headroom is None:
-        import os
+    import os
 
+    if act_headroom is None:
         act_headroom = float(os.environ.get("E4T_INT8_CALIB_HEADROOM",
                                             "1.0"))
+    if exclude is None:
+        env = os.environ.get("E4T_INT8_EXCLUDE")
+        exclude = (tuple(x for x in env.split(",") if x)
+                   if env is not None else DEFAULT_EXCLUDE)
 
     def walk(node, calib):
         out = {}
         for k, v in node.items():
-            if isinstance(v, dict):
+            if k in exclude:
+                out[k] = v  # whole subtree stays full precision
+            elif isinstance(v, dict):
                 out[k] = walk(v, calib.get(k, {}) if calib else {})
             elif k == "kernel" and hasattr(v, "ndim") and v.ndim in (2, 4):
                 out[k] = quantize_kernel(v)

@@ -41,13 +41,28 @@ def maybe_initialize_distributed() -> None:
     kwargs = {}
     nproc = os.environ.get("JAX_NUM_PROCESSES")
     pid = os.environ.get("JAX_PROCESS_ID")
-    if nproc is not None and pid is not None:
+    if (nproc is None) != (pid is None):
+        # advisor r2: a half-configured manual launch used to fall into
+        # auto-detection, fail, be swallowed, and silently run
+        # single-process — a hard-to-spot degraded multi-host job
+        raise RuntimeError(
+            "[mesh] JAX_COORDINATOR_ADDRESS is set but only one of "
+            "JAX_NUM_PROCESSES/JAX_PROCESS_ID is — set both (or neither, "
+            "on a cluster jax can auto-detect)")
+    if nproc is not None:
         kwargs = dict(coordinator_address=addr, num_processes=int(nproc),
                       process_id=int(pid))
     try:
         jax.distributed.initialize(**kwargs)
-    except Exception as e:  # already initialized or single-host
-        print(f"[mesh] jax.distributed.initialize skipped: {e}")
+    except Exception as e:
+        if "already" in str(e).lower():  # re-init in the same process
+            print(f"[mesh] jax.distributed.initialize skipped: {e}")
+            return
+        # the coordinator address was explicitly configured: failing to
+        # join the cluster must not degrade to a silent single-process run
+        raise RuntimeError(
+            f"[mesh] jax.distributed.initialize failed for explicitly "
+            f"configured coordinator {addr!r}: {e}") from e
 
 
 def get_mesh(num_devices: Optional[int] = None, tp: int = 1) -> Mesh:

@@ -176,8 +176,9 @@ def build_pipeline(args) -> StableDiffusionE4TPipeline:
     pipe = StableDiffusionE4TPipeline(
         modules, params, tokenizer, e4t_config, scheduler=scheduler,
         already_added_placeholder_token=True, tp_mesh=tp_mesh,
-        int8=("static" if args.int8 and args.int8_static_act
-              else args.int8),
+        # --int8_static_act implies --int8 (advisor r2: passing it alone
+        # used to silently serve bf16)
+        int8=("static" if args.int8_static_act else args.int8),
         lora_bank=lora_bank, lora_scale=args.lora_scale,
         dp_shard_batch=dp_serving, act_scales=act_scales)
     print("loaded pipeline")

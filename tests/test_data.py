@@ -154,9 +154,9 @@ def test_threaded_loader_finite_source_drains(tmp_path):
     class FiniteLoader(E4TDataLoader):
         def _raw_iter(self):
             rng = np.random.default_rng(0)
-            for _ in range(9):
+            for n in range(9):
                 img = rng.integers(0, 255, (70, 70, 3), dtype=np.uint8)
-                yield lambda img=img: img
+                yield f"synthetic #{n}", (lambda img=img: img)
 
     dl = FiniteLoader(str(tmp_path / "imgs"), batch_size=4, resolution=64,
                       process_index=0, process_count=1, num_workers=2)

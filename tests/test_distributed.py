@@ -192,3 +192,16 @@ def test_two_process_train_step(tmp_path):
         assert "distributed train step ok" in out
         losses.add(out.rsplit("loss=", 1)[1].split()[0])
     assert len(losses) == 1, f"processes disagree on loss: {losses}"
+
+
+def test_partial_manual_config_raises(monkeypatch):
+    """advisor r2: a half-configured manual launch (coordinator address
+    set, only one of NUM_PROCESSES/PROCESS_ID) must fail loudly instead
+    of silently degrading to a single-process run."""
+    from e4t_diffusion_tpu.parallel import mesh as pmesh
+
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "127.0.0.1:1")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "2")
+    monkeypatch.delenv("JAX_PROCESS_ID", raising=False)
+    with pytest.raises(RuntimeError, match="only one of"):
+        pmesh.maybe_initialize_distributed()

@@ -94,6 +94,28 @@ def test_quantize_params_rewrites_only_kernels():
                                   np.asarray(tree["block"]["conv1"]["bias"]))
 
 
+def test_quantize_params_default_exclusions(tiny_unet_world, monkeypatch):
+    """First/last convs + timestep MLP stay full precision by default
+    (advisor r2 / standard diffusion PTQ); E4T_INT8_EXCLUDE= (empty)
+    quantizes everything."""
+    _, params = tiny_unet_world
+    q = quant.quantize_params(params["unet"])
+    assert not quant.is_quantized(q["conv_in"]["kernel"])
+    assert not quant.is_quantized(q["conv_out"]["kernel"])
+    assert not quant.is_quantized(
+        q["time_embedding"]["linear_1"]["kernel"])
+    # interior sites are still rewritten
+    n_q = sum(quant.is_quantized(l) for l in
+              jax.tree_util.tree_leaves(
+                  q, is_leaf=quant.is_quantized))
+    assert n_q > 10
+
+    monkeypatch.setenv("E4T_INT8_EXCLUDE", "")
+    q_all = quant.quantize_params(params["unet"])
+    assert quant.is_quantized(q_all["conv_in"]["kernel"])
+    assert quant.is_quantized(q_all["conv_out"]["kernel"])
+
+
 def test_unet_forward_int8_close(tiny_unet_world):
     modules, params = tiny_unet_world
     rng = jax.random.PRNGKey(3)
