@@ -245,3 +245,122 @@ class TorchTinyUNet(nn.Module):
         x = u1.attentions[1](x, ctx)
         x = self.conv_out(F.silu(self.conv_norm_out(x)))
         return x
+
+
+class TimeEmb(nn.Module):
+    def __init__(self, cin, temb):
+        super().__init__()
+        self.linear_1 = nn.Linear(cin, temb)
+        self.linear_2 = nn.Linear(temb, temb)
+
+    def forward(self, t):
+        return self.linear_2(F.silu(self.linear_1(t)))
+
+
+class TorchGenericUNet(nn.Module):
+    """Geometry-general UNet oracle built from the same independent
+    blocks as TorchTinyUNet — instantiate with the SD-v1 defaults for
+    the full-geometry numerics check (tests/test_unet_full_geometry.py),
+    mirroring the reference's own full-size smoke
+    (/root/reference/e4t/models/unet_2d_condition.py:565-586)."""
+
+    def __init__(self, block_out_channels=(320, 640, 1280, 1280),
+                 down_block_types=("CrossAttnDownBlock2D",) * 3
+                 + ("DownBlock2D",),
+                 up_block_types=("UpBlock2D",)
+                 + ("CrossAttnUpBlock2D",) * 3,
+                 layers_per_block=2, heads=8, ctx_dim=768, groups=32,
+                 linear_proj=False):
+        super().__init__()
+        chans = block_out_channels
+        temb = chans[0] * 4
+        self._sin_dim = chans[0]
+        self.conv_in = nn.Conv2d(4, chans[0], 3, padding=1)
+        self.time_embedding = TimeEmb(chans[0], temb)
+        self._cross_down = [t == "CrossAttnDownBlock2D"
+                            for t in down_block_types]
+        self._cross_up = [t == "CrossAttnUpBlock2D" for t in up_block_types]
+        hd = ((lambda i: heads[i]) if isinstance(heads, (tuple, list))
+              else (lambda i: heads))
+
+        res_ch = [chans[0]]  # skip-connection channel bookkeeping
+        self.down_blocks = nn.ModuleList()
+        out_c = chans[0]
+        for bi, cross in enumerate(self._cross_down):
+            in_c, out_c = out_c, chans[bi]
+            final = bi == len(chans) - 1
+            blk = nn.Module()
+            blk.resnets = nn.ModuleList(
+                [Resnet(in_c if j == 0 else out_c, out_c, temb, groups)
+                 for j in range(layers_per_block)])
+            if cross:
+                blk.attentions = nn.ModuleList(
+                    [Tx2D(out_c, ctx_dim, hd(bi), groups, linear=linear_proj)
+                     for _ in range(layers_per_block)])
+            res_ch += [out_c] * layers_per_block
+            if not final:
+                blk.downsamplers = nn.ModuleList([Downsampler(out_c)])
+                res_ch.append(out_c)
+            self.down_blocks.append(blk)
+
+        mid = nn.Module()
+        mid.resnets = nn.ModuleList([Resnet(chans[-1], chans[-1], temb, groups),
+                                     Resnet(chans[-1], chans[-1], temb, groups)])
+        mid.attentions = nn.ModuleList(
+            [Tx2D(chans[-1], ctx_dim, hd(len(chans) - 1), groups,
+                  linear=linear_proj)])
+        self.mid_block = mid
+
+        rev = list(reversed(chans))
+        self.up_blocks = nn.ModuleList()
+        prev_c = chans[-1]
+        for bi, cross in enumerate(self._cross_up):
+            out_c = rev[bi]
+            final = bi == len(chans) - 1
+            n = layers_per_block + 1
+            blk = nn.Module()
+            rs = []
+            for j in range(n):
+                skip = res_ch.pop()
+                rs.append(Resnet((prev_c if j == 0 else out_c) + skip,
+                                 out_c, temb, groups))
+            blk.resnets = nn.ModuleList(rs)
+            if cross:
+                blk.attentions = nn.ModuleList(
+                    [Tx2D(out_c, ctx_dim, hd(len(chans) - 1 - bi), groups,
+                          linear=linear_proj) for _ in range(n)])
+            if not final:
+                blk.upsamplers = nn.ModuleList([Upsampler(out_c)])
+            self.up_blocks.append(blk)
+            prev_c = out_c
+        self.conv_norm_out = nn.GroupNorm(groups, chans[0], eps=1e-5)
+        self.conv_out = nn.Conv2d(chans[0], 4, 3, padding=1)
+
+    def forward(self, x, t, ctx, return_tap=False):
+        temb = self.time_embedding(timestep_embedding(t, self._sin_dim))
+        x = self.conv_in(x)
+        res = [x]
+        for bi, blk in enumerate(self.down_blocks):
+            for j, rn in enumerate(blk.resnets):
+                x = rn(x, temb)
+                if self._cross_down[bi]:
+                    x = blk.attentions[j](x, ctx)
+                res.append(x)
+            if hasattr(blk, "downsamplers"):
+                x = blk.downsamplers[0](x)
+                res.append(x)
+        m = self.mid_block
+        x = m.resnets[0](x, temb)
+        x = m.attentions[0](x, ctx)
+        x = m.resnets[1](x, temb)
+        if return_tap:
+            # the E4T tap: every down residual + mid, spatially pooled
+            return torch.cat([r.mean(dim=(2, 3)) for r in res + [x]], dim=1)
+        for bi, blk in enumerate(self.up_blocks):
+            for j, rn in enumerate(blk.resnets):
+                x = rn(torch.cat([x, res.pop()], dim=1), temb)
+                if self._cross_up[bi]:
+                    x = blk.attentions[j](x, ctx)
+            if hasattr(blk, "upsamplers"):
+                x = blk.upsamplers[0](x)
+        return self.conv_out(F.silu(self.conv_norm_out(x)))
