@@ -432,7 +432,6 @@ class UNetMidBlock2DCrossAttn(nn.Module):
 class CrossAttnUpBlock2D(nn.Module):
     out_channels: int
     prev_output_channel: int
-    skip_channels: Tuple[int, ...]  # per-resnet skip channel count
     num_layers: int
     heads: int
     add_upsample: bool
@@ -463,7 +462,6 @@ class CrossAttnUpBlock2D(nn.Module):
 class UpBlock2D(nn.Module):
     out_channels: int
     prev_output_channel: int
-    skip_channels: Tuple[int, ...]
     num_layers: int
     add_upsample: bool
     groups: int
@@ -591,7 +589,7 @@ class UNet2DConditionModel(nn.Module):
             down_res = down_res[:-n_layers]
             if btype == "CrossAttnUpBlock2D":
                 x = CrossAttnUpBlock2D(
-                    out_ch, prev_ch, (), n_layers,
+                    out_ch, prev_ch, n_layers,
                     cfg.heads_for_block(len(cfg.block_out_channels) - 1 - bi),
                     add_upsample=not is_final, groups=cfg.norm_num_groups,
                     eps=cfg.norm_eps, use_linear_projection=ulp,
@@ -599,7 +597,7 @@ class UNet2DConditionModel(nn.Module):
                     name=f"up_blocks_{bi}")(x, res, temb, context)
             elif btype == "UpBlock2D":
                 x = UpBlock2D(
-                    out_ch, prev_ch, (), n_layers,
+                    out_ch, prev_ch, n_layers,
                     add_upsample=not is_final, groups=cfg.norm_num_groups,
                     eps=cfg.norm_eps, dtype=self.dtype,
                     name=f"up_blocks_{bi}")(x, res, temb)
