@@ -56,6 +56,25 @@ def setup_compilation_cache(path: str | None = None) -> None:
         print(f"[runtime] compilation cache disabled: {e}")
 
 
+def device_memory_stats(device=None) -> dict:
+    """Best-effort device memory stats (bytes). Returns {} when the
+    backend doesn't expose them (CPU, some PJRT plugins). Keys of
+    interest: peak_bytes_in_use, bytes_in_use, bytes_limit."""
+    try:
+        device = device or jax.local_devices()[0]
+        stats = device.memory_stats()
+        return dict(stats) if stats else {}
+    except Exception:
+        return {}
+
+
+def peak_hbm_gb(device=None) -> float | None:
+    """Peak HBM in GiB since process start, or None if unavailable."""
+    stats = device_memory_stats(device)
+    peak = stats.get("peak_bytes_in_use")
+    return round(peak / 2**30, 3) if peak else None
+
+
 class GracefulShutdown:
     """Preemption-aware shutdown: SIGTERM -> checkpoint at the next step
     boundary.

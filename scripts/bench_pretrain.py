@@ -108,6 +108,8 @@ def main():
     float(metrics["loss"])
     run_time = time.perf_counter() - t0
     per_step = run_time / (steps - 1)
+    from e4t_diffusion_tpu.utils.runtime import peak_hbm_gb
+
     print(json.dumps({
         "metric": f"pretrain_{res}px_bs{batch}_images_per_sec_per_chip",
         "value": round(batch / per_step, 3),
@@ -115,6 +117,7 @@ def main():
         "per_step_s": round(per_step, 3),
         "compile_s": round(compile_time, 1),
         "micro_batches": micro,
+        "peak_hbm_gb": peak_hbm_gb(),
     }))
 
 

@@ -115,6 +115,8 @@ def main():
     run_time = time.perf_counter() - t0
     per_step = run_time / (steps - 1)
     total_30 = per_step * steps
+    from e4t_diffusion_tpu.utils.runtime import peak_hbm_gb
+
     print(json.dumps({
         "metric": f"tuning_{res}px_bs{batch}_wall_clock_30steps",
         "value": round(total_30, 2),
@@ -124,6 +126,7 @@ def main():
         "vs_baseline": round(30.0 / total_30, 3),  # target: <30 s
         "micro_batches": micro,
         "effective_batch": batch,
+        "peak_hbm_gb": peak_hbm_gb(),
     }))
 
 
