@@ -21,6 +21,7 @@ figure stays visible. Select a single config with E4T_BENCH_INT8
 
 Env knobs: E4T_BENCH_BATCH (default 8), E4T_BENCH_STEPS (50),
 E4T_BENCH_RES (512), E4T_BENCH_REPEATS (3), E4T_BENCH_INT8 (see above),
+E4T_BENCH_INT8_AUX (1 = int8 ViT tower + VAE decode too),
 E4T_BENCH_OUTAGE_WAIT (seconds to poll a down backend before giving up;
 default 1800, 0 disables the wait).
 """
@@ -190,9 +191,12 @@ def run_bench(batch: int, fallback: bool = False, int8=None):
     if int8 is None:
         int8_env = os.environ.get("E4T_BENCH_INT8", "0")
         int8 = "static" if int8_env == "static" else int8_env == "1"
+    # E4T_BENCH_INT8_AUX=1: also serve the ViT tower + VAE decode int8
+    # (dynamic act scales; --int8_aux in the CLIs)
+    int8_aux = os.environ.get("E4T_BENCH_INT8_AUX", "0") == "1"
     fn = make_sample_fn(modules, scheduler, num_inference_steps=steps,
                         guidance_scale=7.5, domain_embed_scale=0.1,
-                        int8=int8)
+                        int8=int8, int8_aux=int8_aux)
 
     latents = jax.random.normal(rng, (batch, 4, res // 8, res // 8), dtype)
     pixel = jnp.zeros((1, 3, res, res), dtype)
@@ -244,6 +248,8 @@ def run_bench(batch: int, fallback: bool = False, int8=None):
 
     n_chips = jax.device_count()
     tag = {False: "", True: "_int8", "static": "_int8static"}[int8]
+    if int8_aux:
+        tag += "_aux"
     result = {
         "metric": (f"e4t_inference_{res}px_ddim{steps}{tag}"
                    f"_images_per_sec_per_chip"),

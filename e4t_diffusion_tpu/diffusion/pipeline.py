@@ -107,18 +107,24 @@ def _tree_max_into(full: dict, partial) -> dict:
 
 def _build_denoise_loop(modules: E4TModules, scheduler, num_steps: int,
                         guidance_scale: float, domain_embed_scale: float,
-                        eta: float, collect_calib: bool):
+                        eta: float, collect_calib: bool,
+                        collect_traj: bool = False):
     """The ONE denoise-loop construction, shared by sampling
-    (make_sample_fn) and activation-range calibration
-    (make_calibration_fn) so the two can never diverge. Returns
-    ``run_loop(params_eff, text_params, e4t_params, latents,
-    pixel_values, inputs_embeds, placeholder_idx, uncond_ids,
-    class_embed, noise_rng) -> (final_latents, amax-or-None)`` where
+    (make_sample_fn), activation-range calibration (make_calibration_fn)
+    and trajectory capture (make_trajectory_fn) so they can never
+    diverge. Returns ``run_loop(params_eff, text_params, e4t_params,
+    latents, pixel_values, inputs_embeds, placeholder_idx, uncond_ids,
+    class_embed, noise_rng) -> (final_latents, extra)`` where
     ``params_eff`` are the fully folded (and possibly quantized) UNet
     kernels. With ``collect_calib`` the UNet applies run with a mutable
     ``calib`` collection (sown by the quant drop-ins) and the per-site
     abs-max is max-reduced across both CFG passes and all steps in the
-    scan carry."""
+    scan carry (``extra`` = the amax tree). With ``collect_traj`` the
+    scan stacks the post-step latents (``extra`` shaped
+    ``(num_steps, B, 4, h, w)``) — the per-step record used for the
+    int8-vs-bf16 divergence study (scripts/int8_quality.py). Otherwise
+    ``extra`` is None."""
+    assert not (collect_calib and collect_traj)
     do_cfg = guidance_scale > 1.0
     state0 = scheduler.init(num_steps)
     timesteps = state0["timesteps"]
@@ -222,14 +228,14 @@ def _build_denoise_loop(modules: E4TModules, scheduler, num_steps: int,
                                             noise=noise, **step_kwargs)
             next_carry = ((state, latents, amax) if collect_calib
                           else (state, latents))
-            return next_carry, None
+            return next_carry, (latents if collect_traj else None)
 
-        final, _ = jax.lax.scan(body, carry0, jnp.arange(len(timesteps)))
+        final, ys = jax.lax.scan(body, carry0, jnp.arange(len(timesteps)))
         if collect_calib:
             _, latents, amax = final
             return latents, amax
         _, latents = final
-        return latents, None
+        return latents, (ys if collect_traj else None)
 
     return run_loop
 
@@ -238,6 +244,7 @@ def make_sample_fn(modules: E4TModules, scheduler, num_inference_steps: int,
                    guidance_scale: float, domain_embed_scale: float,
                    return_latents: bool = False, eta: float = 0.0,
                    tp_mesh=None, int8: Union[bool, str] = False,
+                   int8_aux: bool = False,
                    lora_scale: Optional[float] = None):
     """Build the jit-compiled end-to-end sampling function.
 
@@ -258,6 +265,14 @@ def make_sample_fn(modules: E4TModules, scheduler, num_inference_steps: int,
     trailing argument, the ``act_amax`` tree from
     ``make_calibration_fn`` — and skips the per-call activation abs-max
     reductions (~3 ms/UNet-fwd measured).
+    ``int8_aux``: also quantize the once-per-run auxiliary towers — the
+    ViT-H image encoder and the VAE decode path (decoder +
+    post_quant_conv; the pixel-head conv_in/conv_out stay fp via
+    quant.DEFAULT_EXCLUDE) — with dynamic activation scales. These sites
+    run once per sampling run (ViT 36.6 ms, VAE decode 141 ms measured),
+    so no calibration is needed: the per-call abs-max cost is amortized
+    over the whole run, unlike the in-scan UNet where it costs
+    ~3 ms/fwd. Independent of ``int8`` (the UNet knob).
     ``lora_scale``: when set, the jitted fn takes a LoRA bank
     (models/lora.py) as a further trailing argument, folded into the
     effective kernels after the offsets (kernel*(1+O) + scale*down@up —
@@ -300,6 +315,17 @@ def make_sample_fn(modules: E4TModules, scheduler, num_inference_steps: int,
         it = iter(extra)
         act_amax = next(it) if static_act else None
         lora_bank = next(it) if lora_scale is not None else None
+        if int8_aux:
+            from e4t_diffusion_tpu.ops.quant import (DEFAULT_EXCLUDE,
+                                                     quantize_params)
+
+            e4t_params = {
+                **e4t_params,
+                "clip_vision": quantize_params(e4t_params["clip_vision"]),
+            }
+            vae_params = quantize_params(
+                vae_params, exclude=DEFAULT_EXCLUDE + ("encoder",
+                                                       "quant_conv"))
         params_eff = wo.fold_offset_bank(unet_params, offsets)
         if lora_bank is not None:
             from e4t_diffusion_tpu.models import lora as lora_mod
@@ -392,6 +418,43 @@ def make_calibration_fn(modules: E4TModules, scheduler, num_calib_steps: int,
     return run
 
 
+def make_trajectory_fn(modules: E4TModules, scheduler,
+                       num_inference_steps: int, guidance_scale: float,
+                       domain_embed_scale: float, eta: float = 0.0,
+                       int8: Union[bool, str] = False):
+    """Per-step latent capture: the SAME denoise loop as make_sample_fn
+    (shared _build_denoise_loop) but the scan stacks every post-step
+    latent. Returns a jitted fn with make_sample_fn's argument order
+    (plus the trailing ``act_amax`` when ``int8="static"``) that yields
+    ``(num_steps, B, 4, h, w)`` latents — the record behind the
+    int8-vs-bf16 divergence study (scripts/int8_quality.py), mirroring
+    the quality question the reference leaves to its fp16 autocast
+    serving path (/root/reference/inference.py:139-149)."""
+    static_act = int8 == "static"
+    run_loop = _build_denoise_loop(modules, scheduler, num_inference_steps,
+                                   guidance_scale, domain_embed_scale, eta,
+                                   collect_calib=False, collect_traj=True)
+
+    @jax.jit
+    def trajectory(unet_params, offsets, text_params, e4t_params,
+                   latents, pixel_values, inputs_embeds, placeholder_idx,
+                   uncond_ids, class_embed, noise_rng, *extra):
+        assert len(extra) == int(static_act), \
+            "pass act_amax iff int8='static'"
+        params_eff = wo.fold_offset_bank(unet_params, offsets)
+        if int8:
+            from e4t_diffusion_tpu.ops.quant import quantize_params
+
+            params_eff = quantize_params(
+                params_eff, act_amax=extra[0] if static_act else None)
+        _, traj = run_loop(params_eff, text_params, e4t_params, latents,
+                           pixel_values, inputs_embeds, placeholder_idx,
+                           uncond_ids, class_embed, noise_rng)
+        return traj
+
+    return trajectory
+
+
 class StableDiffusionE4TPipeline:
     """Host-side orchestration: tokenize, seed, call the jitted sampler.
 
@@ -405,6 +468,7 @@ class StableDiffusionE4TPipeline:
                  e4t_config, scheduler=None,
                  already_added_placeholder_token: bool = False,
                  tp_mesh=None, int8: Union[bool, str] = False,
+                 int8_aux: bool = False,
                  lora_bank=None, lora_scale: float = 1.0,
                  dp_shard_batch: bool = False, act_scales=None):
         self.modules = modules
@@ -422,6 +486,9 @@ class StableDiffusionE4TPipeline:
         # (quant.load_act_scales) — deployments that share it quantize
         # identically instead of each re-calibrating.
         self.int8 = int8
+        # int8_aux: also serve the ViT tower + VAE decode path int8
+        # (dynamic act scales; see make_sample_fn)
+        self.int8_aux = int8_aux
         self._act_amax = act_scales
         # LoRA adapters (models/lora.py), folded after the offsets
         self.lora_bank = lora_bank
@@ -532,6 +599,7 @@ class StableDiffusionE4TPipeline:
                 modules, scheduler, num_inference_steps, guidance_scale, des,
                 return_latents=(output_type == "latent"), eta=eta,
                 tp_mesh=self.tp_mesh, int8=self.int8,
+                int8_aux=self.int8_aux,
                 lora_scale=self.lora_scale)
         fn = self._fn_cache[key]
 

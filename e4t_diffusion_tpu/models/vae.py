@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from e4t_diffusion_tpu.ops.quant import Conv as QConv, Dense as QDense
+
 
 @dataclasses.dataclass(frozen=True)
 class VAEConfig:
@@ -46,15 +48,15 @@ class VAEResnetBlock(nn.Module):
         h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
                          dtype=self.dtype, name="norm1")(x)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+        h = QConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv1")(h)
         h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
                          dtype=self.dtype, name="norm2")(h)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+        h = QConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv2")(h)
         if self.use_shortcut:
-            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+            x = QConv(self.out_channels, (1, 1), dtype=self.dtype,
                         name="conv_shortcut")(x)
         return x + h
 
@@ -73,15 +75,15 @@ class VAEAttentionBlock(nn.Module):
         x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
                          dtype=self.dtype, name="group_norm")(x)
         x = x.reshape(b, h * w, c)
-        q = nn.Dense(c, dtype=self.dtype, name="query")(x)
-        k = nn.Dense(c, dtype=self.dtype, name="key")(x)
-        v = nn.Dense(c, dtype=self.dtype, name="value")(x)
+        q = QDense(c, dtype=self.dtype, name="query")(x)
+        k = QDense(c, dtype=self.dtype, name="key")(x)
+        v = QDense(c, dtype=self.dtype, name="value")(x)
         scale = 1.0 / math.sqrt(c)
         attn = jnp.einsum("bqc,bkc->bqk", q, k,
                           preferred_element_type=jnp.float32) * scale
         attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
         x = jnp.einsum("bqk,bkc->bqc", attn, v)
-        x = nn.Dense(c, dtype=self.dtype, name="proj_attn")(x)
+        x = QDense(c, dtype=self.dtype, name="proj_attn")(x)
         return x.reshape(b, h, w, c) + residual
 
 
@@ -93,7 +95,7 @@ class VAEDownsample(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
-        return nn.Conv(self.channels, (3, 3), strides=(2, 2), padding="VALID",
+        return QConv(self.channels, (3, 3), strides=(2, 2), padding="VALID",
                        dtype=self.dtype, name="conv")(x)
 
 
@@ -105,7 +107,7 @@ class VAEUpsample(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
-        return nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype,
+        return QConv(self.channels, (3, 3), padding=1, dtype=self.dtype,
                        name="conv")(x)
 
 
@@ -132,7 +134,7 @@ class Encoder(nn.Module):
     @nn.compact
     def __call__(self, x):
         cfg = self.config
-        x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1,
+        x = QConv(cfg.block_out_channels[0], (3, 3), padding=1,
                     dtype=self.dtype, name="conv_in")(x)
         out_ch = cfg.block_out_channels[0]
         for bi, ch in enumerate(cfg.block_out_channels):
@@ -151,7 +153,7 @@ class Encoder(nn.Module):
         x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6,
                          dtype=self.dtype, name="conv_norm_out")(x)
         x = nn.silu(x)
-        x = nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1,
+        x = QConv(2 * cfg.latent_channels, (3, 3), padding=1,
                     dtype=self.dtype, name="conv_out")(x)
         return x
 
@@ -164,7 +166,7 @@ class Decoder(nn.Module):
     def __call__(self, z):
         cfg = self.config
         rev = list(reversed(cfg.block_out_channels))
-        x = nn.Conv(rev[0], (3, 3), padding=1, dtype=self.dtype,
+        x = QConv(rev[0], (3, 3), padding=1, dtype=self.dtype,
                     name="conv_in")(z)
         x = VAEMidBlock(rev[0], cfg.norm_num_groups, dtype=self.dtype,
                         name="mid_block")(x)
@@ -183,7 +185,7 @@ class Decoder(nn.Module):
         x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6,
                          dtype=self.dtype, name="conv_norm_out")(x)
         x = nn.silu(x)
-        x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
+        x = QConv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv_out")(x)
         return x
 
@@ -201,9 +203,9 @@ class AutoencoderKL(nn.Module):
     def setup(self):
         self.encoder = Encoder(self.config, dtype=self.dtype)
         self.decoder = Decoder(self.config, dtype=self.dtype)
-        self.quant_conv = nn.Conv(2 * self.config.latent_channels, (1, 1),
+        self.quant_conv = QConv(2 * self.config.latent_channels, (1, 1),
                                   dtype=self.dtype, name="quant_conv")
-        self.post_quant_conv = nn.Conv(self.config.latent_channels, (1, 1),
+        self.post_quant_conv = QConv(self.config.latent_channels, (1, 1),
                                        dtype=self.dtype,
                                        name="post_quant_conv")
 

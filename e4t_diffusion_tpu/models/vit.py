@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from e4t_diffusion_tpu.ops.attention import dot_product_attention
+from e4t_diffusion_tpu.ops.quant import Conv as QConv, Dense as QDense
 
 
 @dataclasses.dataclass(frozen=True)
@@ -66,7 +67,7 @@ class ViTBlock(nn.Module):
         r = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="ln_1")(x)
         # packed qkv projection (open_clip/torch MultiheadAttention layout)
-        qkv = nn.Dense(3 * d, dtype=self.dtype, name="attn_in_proj")(r)
+        qkv = QDense(3 * d, dtype=self.dtype, name="attn_in_proj")(r)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         b, s = x.shape[0], x.shape[1]
         q = q.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
@@ -75,13 +76,13 @@ class ViTBlock(nn.Module):
         o = dot_product_attention(q, k, v, scale=1.0 / math.sqrt(hd),
                                   causal=self.causal)
         o = o.transpose(0, 2, 1, 3).reshape(b, s, d)
-        x = x + nn.Dense(d, dtype=self.dtype, name="attn_out_proj")(o)
+        x = x + QDense(d, dtype=self.dtype, name="attn_out_proj")(o)
 
         r = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="ln_2")(x)
-        r = nn.Dense(cfg.mlp_dim, dtype=self.dtype, name="mlp_c_fc")(r)
+        r = QDense(cfg.mlp_dim, dtype=self.dtype, name="mlp_c_fc")(r)
         r = jax.nn.gelu(r, approximate=False)
-        r = nn.Dense(d, dtype=self.dtype, name="mlp_c_proj")(r)
+        r = QDense(d, dtype=self.dtype, name="mlp_c_proj")(r)
         return x + r
 
 
@@ -95,9 +96,9 @@ class VisionTransformer(nn.Module):
         cfg = self.config
         # NCHW -> NHWC patches via strided conv (no bias, open_clip conv1)
         x = jnp.transpose(x, (0, 2, 3, 1)).astype(self.dtype)
-        x = nn.Conv(cfg.width, (cfg.patch_size, cfg.patch_size),
-                    strides=(cfg.patch_size, cfg.patch_size), padding="VALID",
-                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = QConv(cfg.width, (cfg.patch_size, cfg.patch_size),
+                  strides=(cfg.patch_size, cfg.patch_size), padding="VALID",
+                  use_bias=False, dtype=self.dtype, name="conv1")(x)
         b = x.shape[0]
         x = x.reshape(b, -1, cfg.width)  # (B, grid^2, width)
 

@@ -88,6 +88,12 @@ def parse_args():
                              "offsets (models/lora.py)")
     parser.add_argument("--lora_scale", type=float, default=1.0,
                         help="LoRA scale (reference processor default)")
+    parser.add_argument("--int8_aux", action="store_true",
+                        help="also int8-quantize the once-per-run "
+                             "auxiliary towers: the ViT-H image encoder "
+                             "and the VAE decode path (dynamic act "
+                             "scales, no calibration; independent of "
+                             "--int8)")
     parser.add_argument("--int8_static_act", action="store_true",
                         help="with --int8: calibrate static activation "
                              "scales on a short trajectory at the first "
@@ -179,6 +185,7 @@ def build_pipeline(args) -> StableDiffusionE4TPipeline:
         # --int8_static_act implies --int8 (advisor r2: passing it alone
         # used to silently serve bf16)
         int8=("static" if args.int8_static_act else args.int8),
+        int8_aux=getattr(args, "int8_aux", False),
         lora_bank=lora_bank, lora_scale=args.lora_scale,
         dp_shard_batch=dp_serving, act_scales=act_scales)
     print("loaded pipeline")

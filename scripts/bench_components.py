@@ -140,12 +140,40 @@ def main():
             lambda x: modules.unet.apply({"params": qs_params},
                                          x[0], t, x[1]),
             (lats, ctxs))
+    # --- MFU accounting (utils/flops.py analytic counts / v5e bf16 peak).
+    # int8 sites are also reported vs the BF16 peak ("effective MFU":
+    # >100% would mean beating the bf16 roofline via the int8 MXU).
+    from e4t_diffusion_tpu.utils import flops as fl
+
+    unet_f = batch * fl.unet_forward(modules.unet.config, res // 8)
+    site_flops = {
+        "unet_fwd_ms": unet_f,
+        "unet_fwd_int8_ms": unet_f,
+        "unet_fwd_int8_static_ms": unet_f,
+        "unet_fwd_with_tap_ms": unet_f,
+        "text_encoder_ms": fl.text_encoder_forward(tcfg, batch),
+        "vit_encode_ms": fl.vit_forward(ecfg.vit, batch),
+        "vit_encode_int8_ms": fl.vit_forward(ecfg.vit, batch),
+        "vae_decode_ms": batch * fl.vae_decode(modules.vae.config, res // 8),
+        "vae_decode_int8_ms": batch * fl.vae_decode(modules.vae.config,
+                                                    res // 8),
+    }
+
+    def add_mfu(res_dict):
+        if jax.default_backend() != "tpu":
+            return
+        for name, f in site_flops.items():
+            if name in res_dict:
+                mfu = f / (res_dict[name] * 1e-3) / fl.V5E_BF16_PEAK
+                res_dict[name.replace("_ms", "_mfu")] = round(mfu, 4)
+
     if only:
         results["batch"] = batch
         results["blocks"] = (os.environ.get("E4T_FLASH_BLOCK_Q", "2048"),
                              os.environ.get("E4T_FLASH_BLOCK_K", "512"))
         results["threshold"] = os.environ.get("E4T_FLASH_THRESHOLD_BYTES",
                                               "default")
+        add_mfu(results)
         print(json.dumps({k: (round(v, 3) if isinstance(v, float) else v)
                           for k, v in results.items()}))
         return
@@ -166,6 +194,16 @@ def main():
             {"params": e4t_params}, x, method=E4TEncoder.encode_image),
         pixels)
 
+    if want("vit_encode_int8"):
+        from e4t_diffusion_tpu.ops.quant import quantize_params
+
+        e4t_q = {**e4t_params,
+                 "clip_vision": quantize_params(e4t_params["clip_vision"])}
+        results["vit_encode_int8_ms"] = scan_time(
+            lambda x: modules.e4t_encoder.apply(
+                {"params": e4t_q}, x, method=E4TEncoder.encode_image),
+            pixels)
+
     vit_cfg = ecfg.vit
     clip_feats = jax.random.normal(
         ks[4], (iters, batch, ecfg.n_fused, vit_cfg.width), dtype)
@@ -181,6 +219,18 @@ def main():
     results["vae_decode_ms"] = scan_time(
         lambda x: modules.vae.apply({"params": vae_params}, x,
                                     method=AutoencoderKL.decode), dec_lats)
+
+    if want("vae_decode_int8"):
+        from e4t_diffusion_tpu.ops.quant import (DEFAULT_EXCLUDE,
+                                                 quantize_params)
+
+        vae_q = quantize_params(vae_params,
+                                exclude=DEFAULT_EXCLUDE + ("encoder",
+                                                           "quant_conv"))
+        results["vae_decode_int8_ms"] = scan_time(
+            lambda x: modules.vae.apply({"params": vae_q}, x,
+                                        method=AutoencoderKL.decode),
+            dec_lats)
 
     offsets = cast(zeros_params(
         lambda k: wo.init_offset_bank(k, modules.unet.config), rng))
@@ -198,6 +248,7 @@ def main():
     results["batch"] = batch
     results["blocks"] = (os.environ.get("E4T_FLASH_BLOCK_Q", "2048"),
                          os.environ.get("E4T_FLASH_BLOCK_K", "512"))
+    add_mfu(results)
     print(json.dumps({k: (round(v, 3) if isinstance(v, float) else v)
                       for k, v in results.items()}))
 

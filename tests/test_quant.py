@@ -380,3 +380,35 @@ def test_int8_static_act_sampling_close_to_bf16(tiny_unet_world):
     corr = np.corrcoef(ref.ravel(), q.ravel())[0, 1]
     assert corr > 0.97, corr
     assert np.abs(ref - q).mean() < 0.05
+
+def test_int8_aux_sampling_close_to_bf16(tiny_unet_world):
+    """--int8_aux quality proxy: int8 ViT tower + VAE decode (dynamic
+    act scales) must track the full-precision run on random weights.
+    The aux towers run once per sampling run, so the scheme needs no
+    calibration; this guards the exclusion wiring (VAE conv_in/conv_out
+    and the encoder/quant_conv stay fp) and the rescale math."""
+    from e4t_diffusion_tpu.diffusion.pipeline import make_sample_fn
+    from e4t_diffusion_tpu.diffusion.schedulers import DDIMScheduler
+    from e4t_diffusion_tpu.models.clip_text import embed_tokens
+
+    modules, params = tiny_unet_world
+    tcfg = modules.text_encoder.config
+    L = tcfg.max_position_embeddings
+    ids = jnp.zeros((1, L), jnp.int32).at[0, 3].set(7)
+    embeds = embed_tokens(params["text"], ids)
+    pixels = jax.random.uniform(jax.random.PRNGKey(5), (1, 3, 32, 32),
+                                jnp.float32, -1.0, 1.0)
+    args = (params["unet"], params["offsets"], params["vae"],
+            params["text"], params["e4t"],
+            jax.random.normal(jax.random.PRNGKey(0), (1, 4, 8, 8)),
+            pixels, embeds, jnp.asarray([3], jnp.int32),
+            jnp.zeros((1, L), jnp.int32),
+            embed_tokens(params["text"], jnp.asarray([[5]]))[0, 0],
+            jax.random.PRNGKey(1))
+    ref = np.asarray(make_sample_fn(modules, DDIMScheduler(), 8, 7.5,
+                                    0.1)(*args))
+    q = np.asarray(make_sample_fn(modules, DDIMScheduler(), 8, 7.5, 0.1,
+                                  int8_aux=True)(*args))
+    corr = np.corrcoef(ref.ravel(), q.ravel())[0, 1]
+    assert corr > 0.97, corr
+    assert np.abs(ref - q).mean() < 0.05
