@@ -1,0 +1,159 @@
+"""int8-vs-bf16 serving quality at SD-v1 GEOMETRY: full 50-step DDIM
+trajectory divergence with structured random weights.
+
+The +17% int8-static serving headline (bench.py) needs a quality bound at
+the geometry it serves. Real SD weights can't be fetched in this
+environment, but error PROPAGATION through the network depends on
+layer shapes, activation magnitudes and the 50-step feedback loop — all
+reproduced by structured random weights (fan-in-scaled kernels, unit
+norm scales, zero biases — the magnitudes flax/torch init and trained
+nets share). This measures, per denoise step, the relative L2 distance
+between the bf16 trajectory and the int8(-static) trajectory, anchored
+against the distance between two bf16 trajectories from DIFFERENT
+noise seeds (the "unrelated samples" scale).
+
+Counterpart question in the reference: its fp16 autocast serving
+(/root/reference/inference.py:139-149) is the reference's own
+reduced-precision path, shipped without a quality study.
+
+Run (real TPU): python scripts/int8_quality.py
+Env: E4T_QUAL_STEPS (50), E4T_QUAL_RES (512), E4T_QUAL_BATCH (1),
+E4T_QUAL_MODE (static|dynamic|both, default static),
+E4T_QUAL_TINY (1 = tiny config on CPU, used by the test suite).
+Output: one JSON line per config with per-step relative divergence.
+"""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from e4t_diffusion_tpu.utils.structured_init import structured_params
+
+
+def main():
+    from e4t_diffusion_tpu.utils.runtime import (apply_platform_override,
+                                                 setup_compilation_cache)
+
+    apply_platform_override()
+    setup_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from e4t_diffusion_tpu.diffusion.pipeline import (
+        E4TModules, make_calibration_fn, make_trajectory_fn)
+    from e4t_diffusion_tpu.diffusion.schedulers import DDIMScheduler
+    from e4t_diffusion_tpu.models import weight_offsets as wo
+
+    tiny = os.environ.get("E4T_QUAL_TINY", "0") == "1"
+    steps = int(os.environ.get("E4T_QUAL_STEPS", "8" if tiny else "50"))
+    res = int(os.environ.get("E4T_QUAL_RES", "32" if tiny else "512"))
+    batch = int(os.environ.get("E4T_QUAL_BATCH", "1"))
+    mode = os.environ.get("E4T_QUAL_MODE", "static")
+    gs, des = 7.5, 0.1
+    dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+    modules = (E4TModules.tiny(dtype=dtype) if tiny
+               else E4TModules.create(dtype=dtype))
+    tcfg = modules.text_encoder.config
+    ecfg = modules.e4t_encoder.config
+    L = tcfg.max_position_embeddings
+    lat = res // (2 ** (len(modules.vae.config.block_out_channels) - 1))
+    rng = jax.random.PRNGKey(0)
+    ks = jax.random.split(rng, 8)
+
+    def shapes_of(fn, *args):
+        return jax.eval_shape(fn, *args)
+
+    params = {
+        "unet": structured_params(shapes_of(
+            lambda k: modules.unet.init(
+                k, jnp.zeros((1, 4, lat, lat)), jnp.zeros((1,), jnp.int32),
+                jnp.zeros((1, L, tcfg.hidden_size)))["params"], ks[0]),
+            ks[0]),
+        "text": structured_params(shapes_of(
+            lambda k: modules.text_encoder.init(
+                k, jnp.zeros((1, L), jnp.int32))["params"], ks[1]), ks[1]),
+        "e4t": structured_params(shapes_of(
+            lambda k: modules.e4t_encoder.init(
+                k, jnp.zeros((1, 3, res, res)),
+                jnp.zeros((1, ecfg.unet_feature_dim)))["params"], ks[2]),
+            ks[2]),
+        # REAL offset-bank init (small MLPs; the zero-centered offsets
+        # are the serving regime — quantization folds (1+O) kernels)
+        "offsets": wo.init_offset_bank(ks[3], modules.unet.config),
+    }
+
+    latents0 = jax.random.normal(ks[4], (batch, 4, lat, lat), jnp.float32)
+    latents1 = jax.random.normal(ks[5], (batch, 4, lat, lat), jnp.float32)
+    pixels = jax.random.uniform(ks[6], (1, 3, res, res), jnp.float32,
+                                -1.0, 1.0)
+    inputs_embeds = 0.02 * jax.random.normal(
+        ks[7], (1, L, tcfg.hidden_size), jnp.float32)
+    ph_idx = jnp.full((batch,), 4, jnp.int32)
+    uncond_ids = jnp.zeros((1, L), jnp.int32)
+    class_embed = 0.02 * jax.random.normal(ks[7], (tcfg.hidden_size,),
+                                           jnp.float32)
+    noise_rng = jax.random.PRNGKey(42)
+    sched = DDIMScheduler()
+
+    common = (params["text"], params["e4t"])
+
+    def run_traj(int8, seed_latents, act_amax=None):
+        fn = make_trajectory_fn(modules, sched, steps, gs, des, int8=int8)
+        extra = (act_amax,) if int8 == "static" else ()
+        traj = fn(params["unet"], params["offsets"], *common, seed_latents,
+                  pixels, inputs_embeds, ph_idx, uncond_ids, class_embed,
+                  noise_rng, *extra)
+        return np.asarray(jax.device_get(traj), np.float32)
+
+    print(f"[int8_quality] {'tiny' if tiny else 'SD-v1'} geometry, "
+          f"{res}px, {steps} steps, batch {batch}", file=sys.stderr)
+    t_bf16 = run_traj(False, latents0)
+    # the unrelated-samples anchor: same weights, different start noise
+    t_anchor = run_traj(False, latents1)
+
+    def rel(a, b):
+        num = np.linalg.norm((a - b).reshape(a.shape[0], -1), axis=1)
+        den = np.linalg.norm(b.reshape(b.shape[0], -1), axis=1)
+        return num / np.maximum(den, 1e-12)
+
+    anchor = rel(t_anchor, t_bf16)
+
+    results = []
+    modes = ["static", "dynamic"] if mode == "both" else [mode]
+    for m in modes:
+        act_amax = None
+        if m == "static":
+            calib_steps = min(8, steps)
+            cfn = make_calibration_fn(modules, sched, calib_steps, gs, des)
+            act_amax = cfn(params["unet"], params["offsets"], *common,
+                           latents0, pixels, inputs_embeds, ph_idx,
+                           uncond_ids, class_embed, noise_rng)
+        t_q = run_traj("static" if m == "static" else True, latents0,
+                       act_amax)
+        d = rel(t_q, t_bf16)
+        # headline: final-step divergence as a fraction of the
+        # unrelated-samples distance (0 = identical, 1 = as different
+        # as an unrelated sample)
+        frac = float(d[-1] / max(anchor[-1], 1e-12))
+        out = {
+            "metric": f"int8_{m}_vs_bf16_rel_l2_final",
+            "value": round(float(d[-1]), 5),
+            "unit": "relative L2 (final latents)",
+            "anchor_unrelated_rel_l2": round(float(anchor[-1]), 5),
+            "fraction_of_unrelated": round(frac, 5),
+            "per_step_rel_l2": [round(float(x), 5) for x in d],
+            "steps": steps, "res": res, "geometry":
+                "tiny" if tiny else "sd-v1",
+        }
+        results.append(out)
+        print(json.dumps(out))
+    return results
+
+
+if __name__ == "__main__":
+    main()
