@@ -118,8 +118,14 @@ def e4t_loss_fn(modules: E4TModules, ddpm: DDPMScheduler,
     bsz = latents.shape[0]
 
     noise = jax.random.normal(rng_noise, latents.shape, latents.dtype)
-    timesteps = jax.random.randint(
-        rng_t, (bsz,), 0, ddpm.config.num_train_timesteps)
+    if batch.get("timesteps") is not None:
+        # optional per-sample override: curriculum / importance-sampled
+        # t schedules, and probes that pin high-noise t where the image
+        # conditioning is the only identity source
+        timesteps = batch["timesteps"]
+    else:
+        timesteps = jax.random.randint(
+            rng_t, (bsz,), 0, ddpm.config.num_train_timesteps)
     noisy = ddpm.add_noise(latents, noise, timesteps)
 
     # "" conditioning states + class embed are non-trained inputs
