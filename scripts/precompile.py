@@ -14,6 +14,7 @@ dispatch, result discarded):
   serve_bf16     512px DDIM-50 sampler, batch 8 (the headline config)
   serve_int8     same, dynamic-int8 UNet
   serve_int8s    same, calibrated-static int8 (+ its calibration run)
+  serve_int8s_aux same, plus int8 ViT tower + VAE decode (--int8_aux)
   tune_step      phase-2 train step at the bench_tuning config
   pretrain_step  phase-1 train step at the bench_pretrain config
 
@@ -35,8 +36,11 @@ def _want(name: str) -> bool:
 
 
 def _serve(kind: str) -> None:
-    os.environ["E4T_BENCH_INT8"] = {"serve_bf16": "0", "serve_int8": "1",
-                                    "serve_int8s": "static"}[kind]
+    os.environ["E4T_BENCH_INT8"] = {
+        "serve_bf16": "0", "serve_int8": "1", "serve_int8s": "static",
+        "serve_int8s_aux": "static"}[kind]
+    os.environ["E4T_BENCH_INT8_AUX"] = (
+        "1" if kind == "serve_int8s_aux" else "0")
     os.environ["E4T_BENCH_REPEATS"] = "0"  # compile + one warmup dispatch
     import bench
 
@@ -69,6 +73,7 @@ def main():
     jobs = [("serve_bf16", lambda: _serve("serve_bf16")),
             ("serve_int8", lambda: _serve("serve_int8")),
             ("serve_int8s", lambda: _serve("serve_int8s")),
+            ("serve_int8s_aux", lambda: _serve("serve_int8s_aux")),
             ("tune_step", _tune_step),
             ("pretrain_step", _pretrain_step)]
     failures = 0
