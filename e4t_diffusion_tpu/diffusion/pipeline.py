@@ -245,6 +245,7 @@ def make_sample_fn(modules: E4TModules, scheduler, num_inference_steps: int,
                    return_latents: bool = False, eta: float = 0.0,
                    tp_mesh=None, int8: Union[bool, str] = False,
                    int8_aux: bool = False,
+                   int8_attn: Union[bool, str] = False,
                    lora_scale: Optional[float] = None):
     """Build the jit-compiled end-to-end sampling function.
 
@@ -273,6 +274,12 @@ def make_sample_fn(modules: E4TModules, scheduler, num_inference_steps: int,
     so no calibration is needed: the per-call abs-max cost is amortized
     over the whole run, unlike the in-scan UNet where it costs
     ~3 ms/fwd. Independent of ``int8`` (the UNet knob).
+    ``int8_attn``: run the flash-attention inner matmuls (QK^T, and p@v
+    with mode "qkpv") on the int8 MXU too
+    (ops/attention.int8_flash_attention) — True is mode "qk". Covers the
+    flash-dispatched self-attention sites (4096/d40, 1024/d80 at 512px);
+    einsum sites stay full precision. Independent of ``int8`` (which
+    quantizes the matmul/conv kernels AROUND attention).
     ``lora_scale``: when set, the jitted fn takes a LoRA bank
     (models/lora.py) as a further trailing argument, folded into the
     effective kernels after the offsets (kernel*(1+O) + scale*down@up —
@@ -350,7 +357,19 @@ def make_sample_fn(modules: E4TModules, scheduler, num_inference_steps: int,
         images = jnp.clip(images / 2.0 + 0.5, 0.0, 1.0)
         return images
 
-    return sample
+    if not int8_attn:
+        return sample
+    from e4t_diffusion_tpu.ops.attention import int8_flash_attention
+
+    attn_mode = "qk" if int8_attn is True else int8_attn
+
+    def run(*args):
+        # trace-time flag (like quant.calibration_trace): wrapping every
+        # call keeps retraces inside the context
+        with int8_flash_attention(attn_mode):
+            return sample(*args)
+
+    return run
 
 
 @jax.jit
@@ -421,7 +440,8 @@ def make_calibration_fn(modules: E4TModules, scheduler, num_calib_steps: int,
 def make_trajectory_fn(modules: E4TModules, scheduler,
                        num_inference_steps: int, guidance_scale: float,
                        domain_embed_scale: float, eta: float = 0.0,
-                       int8: Union[bool, str] = False):
+                       int8: Union[bool, str] = False,
+                       int8_attn: Union[bool, str] = False):
     """Per-step latent capture: the SAME denoise loop as make_sample_fn
     (shared _build_denoise_loop) but the scan stacks every post-step
     latent. Returns a jitted fn with make_sample_fn's argument order
@@ -452,7 +472,17 @@ def make_trajectory_fn(modules: E4TModules, scheduler,
                            uncond_ids, class_embed, noise_rng)
         return traj
 
-    return trajectory
+    if not int8_attn:
+        return trajectory
+    from e4t_diffusion_tpu.ops.attention import int8_flash_attention
+
+    attn_mode = "qk" if int8_attn is True else int8_attn
+
+    def run(*args):
+        with int8_flash_attention(attn_mode):
+            return trajectory(*args)
+
+    return run
 
 
 class StableDiffusionE4TPipeline:
@@ -469,6 +499,7 @@ class StableDiffusionE4TPipeline:
                  already_added_placeholder_token: bool = False,
                  tp_mesh=None, int8: Union[bool, str] = False,
                  int8_aux: bool = False,
+                 int8_attn: Union[bool, str] = False,
                  lora_bank=None, lora_scale: float = 1.0,
                  dp_shard_batch: bool = False, act_scales=None):
         self.modules = modules
@@ -489,6 +520,9 @@ class StableDiffusionE4TPipeline:
         # int8_aux: also serve the ViT tower + VAE decode path int8
         # (dynamic act scales; see make_sample_fn)
         self.int8_aux = int8_aux
+        # int8_attn: flash-attention inner matmuls on the int8 MXU
+        # (False | True=="qk" | "qkpv"; ops/attention.int8_flash_attention)
+        self.int8_attn = int8_attn
         self._act_amax = act_scales
         # LoRA adapters (models/lora.py), folded after the offsets
         self.lora_bank = lora_bank
@@ -599,7 +633,7 @@ class StableDiffusionE4TPipeline:
                 modules, scheduler, num_inference_steps, guidance_scale, des,
                 return_latents=(output_type == "latent"), eta=eta,
                 tp_mesh=self.tp_mesh, int8=self.int8,
-                int8_aux=self.int8_aux,
+                int8_aux=self.int8_aux, int8_attn=self.int8_attn,
                 lora_scale=self.lora_scale)
         fn = self._fn_cache[key]
 

@@ -75,6 +75,7 @@ from e4t_diffusion_tpu.ops.flash_kernels import (  # noqa: F401
     _QRES_MAX_ELEMS,
     _flash_attention_lowdim_padded,
     _flash_attention_padded,
+    _flash_fwd_lowdim_int8,
     _round_up,
     _use_interpret,
 )
@@ -89,6 +90,76 @@ import os as _os
 # 512..2048, so keep 512 for VMEM headroom.
 _DEF_BLOCK_Q = int(_os.environ.get("E4T_FLASH_BLOCK_Q", "2048"))
 _DEF_BLOCK_K = int(_os.environ.get("E4T_FLASH_BLOCK_K", "512"))
+
+
+# ---------------------------------------------------------------------------
+# int8 flash attention (serving-only): trace-time context + quantization
+# ---------------------------------------------------------------------------
+# While the context is active, the low-head-dim flash route (the SD
+# UNet's 4096-token d=40 and 1024-token d=80 self-attention — every
+# flash-dispatched serving site at 512px) quantizes q/k (and optionally
+# v) per head to int8 and runs the inner matmuls on the 2x-rate int8 MXU
+# via _flash_fwd_lowdim_int8. k is mean-centered over tokens first: a
+# per-head constant key shift moves every score in a q-row by the same
+# amount, so the softmax is EXACTLY invariant while the k quantization
+# range tightens (k channel means dominate its abs-max in transformer
+# blocks). Forward-only — training steps must not trace under this
+# context (the int8 kernel has no vjp). Sites that dispatch to einsum or
+# the d>=128 flash path fall through to full precision unchanged.
+
+import contextlib
+
+_INT8_FLASH_CTX: list = []
+
+
+@contextlib.contextmanager
+def int8_flash_attention(mode: str = "qk"):
+    """mode "qk": int8 QK^T only, p@v stays bf16 (near-lossless).
+    mode "qkpv": p@v on the int8 MXU too (p has the static scale 1/127
+    since p in [0,1] after the online-max subtraction; v per-head int8).
+    Quality bound at SD-v1 geometry: scripts/int8_quality.py."""
+    assert mode in ("qk", "qkpv"), mode
+    _INT8_FLASH_CTX.append(mode)
+    try:
+        yield
+    finally:
+        _INT8_FLASH_CTX.pop()
+
+
+def _int8_lowdim_path(qf, kf, vf, scale, block_q, block_k, mode):
+    """Quantize (XLA, fused elementwise + per-head reductions) and call
+    the int8 kernel. qf: (BH, Sq_pad, D_sub), kf/vf: (BH, Sk, D_sub)."""
+    bh, sq, d = qf.shape
+    sk = kf.shape[1]
+    sk_pad = _round_up(sk, block_k)
+    f32 = jnp.float32
+    q32 = qf.astype(f32)
+    k32 = kf.astype(f32) - jnp.mean(kf.astype(f32), axis=1, keepdims=True)
+    qs = jnp.maximum(jnp.max(jnp.abs(q32), axis=(1, 2)), 1e-8) / 127.0
+    ks = jnp.maximum(jnp.max(jnp.abs(k32), axis=(1, 2)), 1e-8) / 127.0
+    qi = jnp.clip(jnp.round(q32 / qs[:, None, None]),
+                  -127, 127).astype(jnp.int8)
+    ki = jnp.clip(jnp.round(k32 / ks[:, None, None]),
+                  -127, 127).astype(jnp.int8)
+    pv_int8 = mode == "qkpv"
+    if pv_int8:
+        v32 = vf.astype(f32)
+        vs = jnp.maximum(jnp.max(jnp.abs(v32), axis=(1, 2)), 1e-8) / 127.0
+        vi = jnp.clip(jnp.round(v32 / vs[:, None, None]),
+                      -127, 127).astype(jnp.int8)
+        v_c = vs / 127.0
+        vt = jnp.swapaxes(vi, 1, 2)
+    else:
+        v_c = jnp.ones((bh,), f32)
+        vt = jnp.swapaxes(vf, 1, 2)
+    if sk_pad != sk:
+        ki = jnp.pad(ki, ((0, 0), (0, sk_pad - sk), (0, 0)))
+        vt = jnp.pad(vt, ((0, 0), (0, 0), (0, sk_pad - sk)))
+    sc = jnp.stack([qs * ks * scale, v_c], axis=1)  # (bh, 2) SMEM scalars
+    qt = jnp.swapaxes(qi, 1, 2)
+    ot, _ = _flash_fwd_lowdim_int8(qt, ki, vt, sc, qf.dtype,
+                                   block_q, block_k, sk, pv_int8)
+    return jnp.swapaxes(ot, 1, 2)
 
 
 def flash_attention(
@@ -131,8 +202,12 @@ def flash_attention(
             vf = jnp.pad(vf, ((0, 0), (0, 0), (0, d_sub - d)))
         if sq_pad != sq:
             qf = jnp.pad(qf, ((0, 0), (0, sq_pad - sq), (0, 0)))
-        out = _flash_attention_lowdim_padded(qf, kf, vf, scale,
-                                             block_q, block_k)
+        if _INT8_FLASH_CTX:
+            out = _int8_lowdim_path(qf, kf, vf, scale, block_q, block_k,
+                                    _INT8_FLASH_CTX[-1])
+        else:
+            out = _flash_attention_lowdim_padded(qf, kf, vf, scale,
+                                                 block_q, block_k)
         return out[:, :sq, :d].reshape(b, h, sq, d)
 
     if d_pad != d:

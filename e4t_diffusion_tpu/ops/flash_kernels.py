@@ -740,3 +740,114 @@ def _flash_attention_lowdim_bwd(scale, block_q, block_k, res, g):
 
 _flash_attention_lowdim_padded.defvjp(_flash_attention_lowdim_fwd,
                                       _flash_attention_lowdim_bwd)
+
+
+# ---------------------------------------------------------------------------
+# int8 flash attention — forward-only serving kernel (round 3, appended)
+# ---------------------------------------------------------------------------
+# Runs the attention inner matmuls on the 2x-rate int8 MXU
+# (SageAttention-style): q/k are quantized per-head to int8 outside the
+# kernel (k mean-centered over tokens first — a per-head constant shift
+# of every key moves each score row by a j-invariant amount, so the
+# softmax is EXACTLY invariant while the quantization range tightens),
+# QK^T accumulates in int32, and the online softmax stays f32 on the
+# VPU. With ``pv_int8`` the p@v pass is also int8: p in [0, 1] after the
+# online-max subtraction, so its scale is the static 1/127 and only v
+# needs a per-head scale. Forward-only (no vjp) — serving path; training
+# never enters the int8-attention context (ops/attention.py).
+# Quality bound at SD-v1 geometry: scripts/int8_quality.py --attn modes.
+
+def _flash_fwd_lowdim_int8_kernel(qt_ref, k_ref, vt_ref, sc_ref,
+                                  ot_ref, lse_ref,
+                                  *, kv_len: int, block_k: int,
+                                  pv_int8: bool):
+    qt = qt_ref[0]                    # (d, block_q) int8
+    sk_pad = k_ref.shape[1]
+    nk = sk_pad // block_k
+    d, bq = qt.shape
+    # per-head scale scalars from SMEM (a VMEM (1,1) tile cannot
+    # broadcast over both sublanes and lanes in Mosaic); the (BH, 2)
+    # array is passed UNBLOCKED and indexed by the grid's head index
+    b = pl.program_id(0)
+    qk_c = sc_ref[b, 0]               # q_scale * k_scale * softmax scale
+    v_c = sc_ref[b, 1]                # v_scale / 127 (pv_int8) or 1.0
+
+    def body(j, carry):
+        m, l, acc = carry             # m,l: (1, bq); acc: (d, bq) f32
+        off = j * block_k
+        k = k_ref[0, pl.ds(off, block_k), :]    # (block_k, d) int8
+        st = jax.lax.dot_general(
+            k, qt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+        st = st * qk_c                           # (block_k, bq)
+        if kv_len % block_k != 0:
+            row = off + jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
+            st = jnp.where(row < kv_len, st, _NEG_INF)
+        m_cur = jnp.max(st, axis=0, keepdims=True)       # (1, bq)
+        m_next = jnp.maximum(m, m_cur)
+        alpha = jnp.exp(m - m_next)
+        pt = jnp.exp(st - m_next)                        # (block_k, bq)
+        l_next = alpha * l + jnp.sum(pt, axis=0, keepdims=True)
+        vt = vt_ref[0, :, pl.ds(off, block_k)]  # (d, block_k) int8|bf16
+        if pv_int8:
+            pt_q = jnp.round(pt * 127.0).astype(jnp.int8)
+            contrib = jax.lax.dot_general(
+                vt, pt_q, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+        else:
+            contrib = jax.lax.dot_general(
+                vt, pt.astype(vt.dtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        return m_next, l_next, acc * alpha + contrib
+
+    m0 = jnp.full((1, bq), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((1, bq), jnp.float32)
+    acc0 = jnp.zeros((d, bq), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, nk, body, (m0, l0, acc0))
+    inv = jnp.where(l > 0.0, 1.0 / l, 0.0)
+    ot_ref[0] = (acc * (inv * v_c)).astype(ot_ref.dtype)
+    lse = m + jnp.log(jnp.maximum(l, 1e-37))
+    lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+
+
+def _flash_fwd_lowdim_int8(qt, k, vt, sc, out_dtype, block_q, block_k,
+                           kv_len, pv_int8):
+    """qt: (BH, D, Sq) int8; k: (BH, Sk_pad, D) int8; vt: (BH, D, Sk_pad)
+    int8 (pv_int8) or compute dtype; sc: (BH, 2) f32 per-head scale
+    scalars, routed to SMEM. Sq/Sk already padded; D a multiple of 8
+    (< 128). Returns (out_T (BH, D, Sq), lse (BH, 8, Sq))."""
+    bh, d, sq = qt.shape
+    sk_pad = k.shape[1]
+    nq = sq // block_q
+    return pl.pallas_call(
+        functools.partial(_flash_fwd_lowdim_int8_kernel, kv_len=kv_len,
+                          block_k=block_k, pv_int8=pv_int8),
+        grid=(bh, nq),
+        in_specs=[
+            pl.BlockSpec((1, d, block_q), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_pad, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, sk_pad), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, d, block_q), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, block_q), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, d, sq), out_dtype),
+            jax.ShapeDtypeStruct((bh, 8, sq), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * sq * sk_pad * d,
+            bytes_accessed=qt.size + k.size + vt.size,
+            transcendentals=bh * sq * sk_pad,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=_use_interpret(),
+    )(qt, k, vt, sc)

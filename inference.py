@@ -94,6 +94,13 @@ def parse_args():
                              "and the VAE decode path (dynamic act "
                              "scales, no calibration; independent of "
                              "--int8)")
+    parser.add_argument("--int8_attn", choices=["qk", "qkpv"], default=None,
+                        help="run the flash-attention inner matmuls on "
+                             "the int8 MXU too (SageAttention-style "
+                             "per-head Q/K quantization with exact "
+                             "key-mean-centering; 'qkpv' also quantizes "
+                             "the p@v pass). Independent of --int8; "
+                             "quality bound: scripts/int8_quality.py")
     parser.add_argument("--int8_static_act", action="store_true",
                         help="with --int8: calibrate static activation "
                              "scales on a short trajectory at the first "
@@ -186,6 +193,7 @@ def build_pipeline(args) -> StableDiffusionE4TPipeline:
         # used to silently serve bf16)
         int8=("static" if args.int8_static_act else args.int8),
         int8_aux=getattr(args, "int8_aux", False),
+        int8_attn=getattr(args, "int8_attn", None) or False,
         lora_bank=lora_bank, lora_scale=args.lora_scale,
         dp_shard_batch=dp_serving, act_scales=act_scales)
     print("loaded pipeline")

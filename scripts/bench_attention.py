@@ -76,10 +76,20 @@ def main():
         keep = only.split(",")
         shapes = [s for s in shapes if s[0] in keep]
 
+    def _int8(mode):
+        def fn(q, k, v):
+            with A.int8_flash_attention(mode):
+                return A.flash_attention(q, k, v)
+        return fn
+
     fns = {
         "dispatch": lambda q, k, v: A.dot_product_attention(q, k, v),
         "einsum": lambda q, k, v: A.einsum_attention(q, k, v),
         "flash": lambda q, k, v: A.flash_attention(q, k, v),
+        # int8 inner matmuls (serving-only; only meaningful for the
+        # flash-dispatched lowdim self-attn shapes)
+        "int8qk": _int8("qk"),
+        "int8qkpv": _int8("qkpv"),
     }
 
     results = {}

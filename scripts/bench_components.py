@@ -140,6 +140,36 @@ def main():
             lambda x: modules.unet.apply({"params": qs_params},
                                          x[0], t, x[1]),
             (lats, ctxs))
+    if want("unet_fwd_int8_attn"):
+        # int8 attention inner math alone (bf16 conv/GEMM around it);
+        # mode via E4T_BENCH_ATTN_MODE (qk | qkpv)
+        from e4t_diffusion_tpu.ops.attention import int8_flash_attention
+
+        attn_mode = os.environ.get("E4T_BENCH_ATTN_MODE", "qk")
+        with int8_flash_attention(attn_mode):
+            results["unet_fwd_int8_attn_ms"] = scan_time(
+                lambda x: modules.unet.apply({"params": unet_params},
+                                             x[0], t, x[1]),
+                (lats, ctxs))
+    if want("unet_fwd_int8_static_attn"):
+        # the full int8 serving candidate: static-act int8 conv/GEMM +
+        # int8 attention inner math
+        from e4t_diffusion_tpu.ops import quant
+        from e4t_diffusion_tpu.ops.attention import int8_flash_attention
+
+        attn_mode = os.environ.get("E4T_BENCH_ATTN_MODE", "qk")
+        with quant.calibration_trace():
+            _, cvars2 = jax.jit(
+                lambda p, x, tt, c: modules.unet.apply(
+                    {"params": p}, x, tt, c, mutable=["calib"]))(
+                unet_params, lats[0], t, ctxs[0])
+        qsa_params = quant.quantize_params(unet_params,
+                                           act_amax=cvars2["calib"])
+        with int8_flash_attention(attn_mode):
+            results["unet_fwd_int8_static_attn_ms"] = scan_time(
+                lambda x: modules.unet.apply({"params": qsa_params},
+                                             x[0], t, x[1]),
+                (lats, ctxs))
     # --- MFU accounting (utils/flops.py analytic counts / v5e bf16 peak).
     # int8 sites are also reported vs the BF16 peak ("effective MFU":
     # >100% would mean beating the bf16 roofline via the int8 MXU).

@@ -18,7 +18,13 @@ reduced-precision path, shipped without a quality study.
 
 Run (real TPU): python scripts/int8_quality.py
 Env: E4T_QUAL_STEPS (50), E4T_QUAL_RES (512), E4T_QUAL_BATCH (1),
-E4T_QUAL_MODE (static|dynamic|both, default static),
+E4T_QUAL_MODE — comma list of configs (default static):
+  static | dynamic           int8 conv/GEMM path (ops/quant.py)
+  attn_qk | attn_qkpv        int8 flash-attention inner math alone
+                             (ops/attention.int8_flash_attention)
+  static_attn                static-act int8 + int8 attention "qk"
+                             (the combined serving candidate)
+  both = static,dynamic (back-compat)
 E4T_QUAL_TINY (1 = tiny config on CPU, used by the test suite).
 Output: one JSON line per config with per-step relative divergence.
 """
@@ -102,8 +108,9 @@ def main():
 
     common = (params["text"], params["e4t"])
 
-    def run_traj(int8, seed_latents, act_amax=None):
-        fn = make_trajectory_fn(modules, sched, steps, gs, des, int8=int8)
+    def run_traj(int8, seed_latents, act_amax=None, int8_attn=False):
+        fn = make_trajectory_fn(modules, sched, steps, gs, des, int8=int8,
+                                int8_attn=int8_attn)
         extra = (act_amax,) if int8 == "static" else ()
         traj = fn(params["unet"], params["offsets"], *common, seed_latents,
                   pixels, inputs_embeds, ph_idx, uncond_ids, class_embed,
@@ -123,18 +130,34 @@ def main():
 
     anchor = rel(t_anchor, t_bf16)
 
+    # (kernel-int8 arg, attention-int8 arg) per named config
+    CONFIGS = {
+        "static": ("static", False),
+        "dynamic": (True, False),
+        "attn_qk": (False, "qk"),
+        "attn_qkpv": (False, "qkpv"),
+        "static_attn": ("static", "qk"),
+    }
     results = []
-    modes = ["static", "dynamic"] if mode == "both" else [mode]
+    modes = ["static", "dynamic"] if mode == "both" else mode.split(",")
+    if (any(CONFIGS[m][1] for m in modes)
+            and jax.default_backend() != "tpu"):
+        print("[int8_quality] WARNING: attention int8 modes only take "
+              "effect where the dispatcher routes to flash (TPU backend, "
+              "above-threshold sites) — on this backend they measure 0 "
+              "divergence by construction", file=sys.stderr)
+    act_amax = None
     for m in modes:
-        act_amax = None
-        if m == "static":
+        int8, int8_attn = CONFIGS[m]
+        if int8 == "static" and act_amax is None:
             calib_steps = min(8, steps)
             cfn = make_calibration_fn(modules, sched, calib_steps, gs, des)
             act_amax = cfn(params["unet"], params["offsets"], *common,
                            latents0, pixels, inputs_embeds, ph_idx,
                            uncond_ids, class_embed, noise_rng)
-        t_q = run_traj("static" if m == "static" else True, latents0,
-                       act_amax)
+        t_q = run_traj(int8, latents0,
+                       act_amax if int8 == "static" else None,
+                       int8_attn=int8_attn)
         d = rel(t_q, t_bf16)
         # headline: final-step divergence as a fraction of the
         # unrelated-samples distance (0 = identical, 1 = as different

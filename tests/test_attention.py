@@ -158,3 +158,99 @@ def test_dispatcher_threshold_routing(monkeypatch):
     monkeypatch.setattr(att, "_FLASH_SCORE_BYTES", 0)
     att.dot_product_attention(q, q, q)
     assert calls == {"flash": True}
+
+
+# ---------------------------------------------------------------------------
+# int8 flash attention (serving-only; ops/attention.int8_flash_attention)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("sq,sk,d,mode,bound", [
+    (256, 256, 40, "qk", 0.03),     # tiny stand-in for the 4096/d40 site
+    (256, 200, 40, "qk", 0.03),     # kv-padding edge (200 % 128 != 0)
+    (128, 128, 80, "qk", 0.03),     # the 1024/d80 site's head_dim
+    (256, 256, 40, "qkpv", 0.05),   # p@v on the int8 MXU too
+    (256, 200, 40, "qkpv", 0.05),
+])
+def test_int8_flash_matches_einsum(sq, sk, d, mode, bound):
+    """Per-call int8-attention error vs the f32 einsum oracle. Measured
+    interpret-mode rel-L2 is ~0.013 (qk) / ~0.022 (qkpv); the bounds
+    leave ~2x headroom for seed/tile variation."""
+    from e4t_diffusion_tpu.ops import attention as A
+
+    q = jnp.asarray(_rand((2, 3, sq, d), 10))
+    # nonzero channel mean on k: the realistic regime (transformer keys
+    # have dominant per-channel means) and what the mean-centering in
+    # _int8_lowdim_path exists for
+    k = jnp.asarray(_rand((2, 3, sk, d), 11)) + 0.7
+    v = jnp.asarray(_rand((2, 3, sk, d), 12))
+    ref = A.einsum_attention(q, k, v)
+    with A.int8_flash_attention(mode):
+        out = A.flash_attention(q, k, v, block_q=128, block_k=128)
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < bound, rel
+
+
+def test_int8_flash_k_centering_handles_large_means():
+    """A key tensor whose channel means dwarf its variation would lose
+    nearly all int8 resolution without centering; with centering the
+    error must stay at the centered-regime level."""
+    from e4t_diffusion_tpu.ops import attention as A
+
+    q = jnp.asarray(_rand((1, 2, 128, 40), 20))
+    k = jnp.asarray(_rand((1, 2, 128, 40), 21)) * 0.1 + 5.0
+    v = jnp.asarray(_rand((1, 2, 128, 40), 22))
+    ref = A.einsum_attention(q, k, v)
+    with A.int8_flash_attention("qk"):
+        out = A.flash_attention(q, k, v, block_q=128, block_k=128)
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.03, rel
+
+
+def test_int8_flash_context_leaves_einsum_path_alone():
+    """dot_product_attention below the flash threshold (cross-attention,
+    small sites) must stay full-precision under the int8 context."""
+    from e4t_diffusion_tpu.ops import attention as A
+
+    q = jnp.asarray(_rand((1, 2, 64, 40), 30))
+    k = jnp.asarray(_rand((1, 2, 77, 40), 31))
+    v = jnp.asarray(_rand((1, 2, 77, 40), 32))
+    ref = dot_product_attention(q, k, v)
+    with A.int8_flash_attention("qk"):
+        out = dot_product_attention(q, k, v)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_int8_flash_context_is_scoped():
+    from e4t_diffusion_tpu.ops import attention as A
+
+    assert not A._INT8_FLASH_CTX
+    with A.int8_flash_attention("qkpv"):
+        assert A._INT8_FLASH_CTX == ["qkpv"]
+    assert not A._INT8_FLASH_CTX
+    with pytest.raises(AssertionError):
+        with A.int8_flash_attention("bogus"):
+            pass
+
+
+def test_int8_flash_inside_scan_jit():
+    """The serving pipeline traces attention inside a jitted lax.scan;
+    the int8 path (quantization + SMEM-scales kernel) must compose."""
+    from e4t_diffusion_tpu.ops import attention as A
+
+    q = jnp.asarray(_rand((3, 1, 2, 128, 40), 40))
+    k = jnp.asarray(_rand((3, 1, 2, 128, 40), 41))
+    v = jnp.asarray(_rand((3, 1, 2, 128, 40), 42))
+
+    with A.int8_flash_attention("qkpv"):
+        @jax.jit
+        def scanned(qs, ks, vs):
+            def body(c, x):
+                out = A.flash_attention(*x, block_q=128, block_k=128)
+                return c + jnp.sum(out), None
+            tot, _ = jax.lax.scan(body, jnp.float32(0), (qs, ks, vs))
+            return tot
+        got = float(scanned(q, k, v))
+
+    want = sum(float(jnp.sum(A.einsum_attention(q[i], k[i], v[i])))
+               for i in range(3))
+    assert abs(got - want) / abs(want) < 0.05
