@@ -192,10 +192,20 @@ def flash_attention(
     vf = v.reshape(b * h, sk, d)
 
     # Low-head-dim route: transposed-accumulator kernel (sublane-padded d)
-    # whenever head_dim is below the lane tile and k/v fit VMEM.
+    # whenever head_dim is below the lane tile and k/v fit VMEM. The
+    # residency bound uses the TRUE resident footprint sk_pad * d_sub —
+    # the transposed kernel keeps k (sk_pad, d_sub) and v_T (d_sub,
+    # sk_pad) in VMEM, NOT 128-lane-padded tensors — so 768px (9216
+    # tokens) and 1024px (16384 tokens) d=40 self-attention stay on this
+    # kernel instead of falling to the lane-padded path (~2.4 MB k+v at
+    # 16384 tokens; the f32 score tile at block 2048/512 adds ~8 MB,
+    # within the 16 MB scoped-VMEM budget). Measured on v5e
+    # (scripts/bench_attention.py hi-res shapes, bh=64, 2026-08-18):
+    # 9216 tokens 38.2 -> 24.2 ms, 16384 tokens 116.3 -> 54.9 ms vs the
+    # lane-padded kernel these shapes previously routed to.
     d_sub = _round_up(d, 8)
     if (d_sub < _LANES
-            and _round_up(sk, block_k) * _LANES <= _KVRES_MAX_ELEMS):
+            and _round_up(sk, block_k) * d_sub <= _KVRES_MAX_ELEMS):
         if d_sub != d:
             qf = jnp.pad(qf, ((0, 0), (0, 0), (0, d_sub - d)))
             kf = jnp.pad(kf, ((0, 0), (0, 0), (0, d_sub - d)))

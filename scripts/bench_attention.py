@@ -64,6 +64,11 @@ def main():
     shapes = [
         ("self_4096_d40", 64, 4096, 4096, 40, 5),
         ("self_1024_d80", 64, 1024, 1024, 80, 5),
+        # high-res serving shapes (768px / 1024px latents; count 0 so the
+        # 512px per-forward TOTAL is unaffected) — select explicitly via
+        # E4T_BENCH_SHAPES
+        ("self_9216_d40_768px", 64, 9216, 9216, 40, 0),
+        ("self_16384_d40_1024px", 64, 16384, 16384, 40, 0),
         ("self_256_d160", 64, 256, 256, 160, 5),
         ("self_64_d160", 64, 64, 64, 160, 1),
         ("cross_4096_d40", 64, 4096, 77, 40, 5),

@@ -254,3 +254,30 @@ def test_int8_flash_inside_scan_jit():
     want = sum(float(jnp.sum(A.einsum_attention(q[i], k[i], v[i])))
                for i in range(3))
     assert abs(got - want) / abs(want) < 0.05
+
+
+def test_lowdim_route_covers_highres_sequences(monkeypatch):
+    """The residency bound budgets k/v at their true d_sub footprint, so
+    768px (9216-token) and 1024px (16384-token) d=40 self-attention stay
+    on the fast transposed-accumulator kernel (route check only: the
+    kernel itself is exercised at real size on TPU,
+    scripts/bench_attention.py hi-res shapes)."""
+    from e4t_diffusion_tpu.ops import attention as A
+
+    calls = []
+    monkeypatch.setattr(
+        A, "_flash_attention_lowdim_padded",
+        lambda q, *a, **k: calls.append("lowdim") or q)
+    monkeypatch.setattr(
+        A, "_flash_attention_padded",
+        lambda q, *a, **k: calls.append("standard") or q)
+    for sk in (9216, 16384):
+        calls.clear()
+        q = jnp.zeros((1, 1, sk, 40))
+        A.flash_attention(q, q, q, block_q=2048, block_k=512)
+        assert calls == ["lowdim"], (sk, calls)
+    # d=120 at 16384 tokens exceeds the VMEM budget -> standard path
+    calls.clear()
+    q = jnp.zeros((1, 1, 16384, 120))
+    A.flash_attention(q, q, q, block_q=2048, block_k=512)
+    assert calls == ["standard"]
