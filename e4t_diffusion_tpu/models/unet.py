@@ -32,8 +32,45 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from e4t_diffusion_tpu.ops.attention import dot_product_attention
+from e4t_diffusion_tpu.ops import groupnorm as gnops
 from e4t_diffusion_tpu.ops.quant import (  # int8-capable drop-ins
     Conv as QConv, Dense as QDense)
+
+
+class FusedGroupNormAct(nn.Module):
+    """Pallas fused GroupNorm(+act) with nn.GroupNorm's param layout
+    ("scale"/"bias" directly under this module's name), so checkpoints,
+    converters and TP specs are identical in both modes."""
+    num_groups: int
+    epsilon: float
+    act: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return gnops.fused_group_norm(
+            x.astype(self.dtype), scale, bias, groups=self.num_groups,
+            eps=self.epsilon, act=self.act)
+
+
+def group_norm_act(x, *, groups, eps, dtype, name, act=None):
+    """GroupNorm + optional SiLU at a UNet call site.
+
+    Default path traces the exact flax ops the sites always used
+    (nn.GroupNorm then nn.silu — byte-identical HLO, persistent-cache
+    safe). E4T_FUSED_GN=1 routes VMEM-resident slices through the
+    one-read Pallas kernel (ops/groupnorm.py); serving-path only (the
+    kernel has no VJP yet).
+    """
+    if gnops.fused_gn_enabled() and gnops.fused_gn_fits(x.shape, x.dtype):
+        return FusedGroupNormAct(num_groups=groups, epsilon=eps, act=act,
+                                 dtype=dtype, name=name)(x)
+    h = nn.GroupNorm(num_groups=groups, epsilon=eps, dtype=dtype,
+                     name=name)(x)
+    return nn.silu(h) if act == "silu" else h
 
 
 @dataclasses.dataclass(frozen=True)
@@ -158,17 +195,15 @@ class ResnetBlock2D(nn.Module):
 
     @nn.compact
     def __call__(self, x, temb):
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
-                         dtype=self.dtype, name="norm1")(x)
-        h = nn.silu(h)
+        h = group_norm_act(x, groups=self.groups, eps=self.eps,
+                           dtype=self.dtype, name="norm1", act="silu")
         h = QConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv1")(h)
         t = QDense(self.out_channels, dtype=self.dtype,
                      name="time_emb_proj")(nn.silu(temb))
         h = h + t[:, None, None, :]
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
-                         dtype=self.dtype, name="norm2")(h)
-        h = nn.silu(h)
+        h = group_norm_act(h, groups=self.groups, eps=self.eps,
+                           dtype=self.dtype, name="norm2", act="silu")
         h = QConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv2")(h)
         if self.use_shortcut:
@@ -307,8 +342,8 @@ class Transformer2DModel(nn.Module):
         b, h, w, c = x.shape
         inner = self.heads * self.dim_head
         residual = x
-        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
-                         dtype=self.dtype, name="norm")(x)
+        x = group_norm_act(x, groups=self.groups, eps=1e-6,
+                           dtype=self.dtype, name="norm")
         if self.use_linear_projection:
             x = x.reshape(b, h * w, c)
             x = QDense(inner, dtype=self.dtype, name="proj_in")(x)
@@ -605,9 +640,8 @@ class UNet2DConditionModel(nn.Module):
                 raise ValueError(f"Unsupported up block {btype}")
             prev_ch = out_ch
 
-        x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=cfg.norm_eps,
-                         dtype=self.dtype, name="conv_norm_out")(x)
-        x = nn.silu(x)
+        x = group_norm_act(x, groups=cfg.norm_num_groups, eps=cfg.norm_eps,
+                           dtype=self.dtype, name="conv_norm_out", act="silu")
         x = QConv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv_out")(x)
         eps = jnp.transpose(x, (0, 3, 1, 2))  # NHWC -> NCHW
