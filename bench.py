@@ -246,6 +246,8 @@ def run_bench(batch: int, fallback: bool = False, int8=None):
     best = min(times)
     img_per_sec = batch / best
 
+    from e4t_diffusion_tpu.utils.runtime import peak_hbm_gb
+
     n_chips = jax.device_count()
     tag = {False: "", True: "_int8", "static": "_int8static"}[int8]
     if int8_aux:
@@ -258,6 +260,7 @@ def run_bench(batch: int, fallback: bool = False, int8=None):
         "vs_baseline": round((img_per_sec / n_chips)
                              / A100_REFERENCE_IMG_PER_SEC, 3),
         "batch": batch,
+        "peak_hbm_gb": peak_hbm_gb(),
     }
     if fallback:  # a smaller batch than requested ran (degraded-env ladder)
         result["batch_fallback"] = True

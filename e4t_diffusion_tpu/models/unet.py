@@ -32,45 +32,10 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from e4t_diffusion_tpu.ops.attention import dot_product_attention
-from e4t_diffusion_tpu.ops import groupnorm as gnops
 from e4t_diffusion_tpu.ops.quant import (  # int8-capable drop-ins
     Conv as QConv, Dense as QDense)
-
-
-class FusedGroupNormAct(nn.Module):
-    """Pallas fused GroupNorm(+act) with nn.GroupNorm's param layout
-    ("scale"/"bias" directly under this module's name), so checkpoints,
-    converters and TP specs are identical in both modes."""
-    num_groups: int
-    epsilon: float
-    act: Optional[str] = None
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        c = x.shape[-1]
-        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        return gnops.fused_group_norm(
-            x.astype(self.dtype), scale, bias, groups=self.num_groups,
-            eps=self.epsilon, act=self.act)
-
-
-def group_norm_act(x, *, groups, eps, dtype, name, act=None):
-    """GroupNorm + optional SiLU at a UNet call site.
-
-    Default path traces the exact flax ops the sites always used
-    (nn.GroupNorm then nn.silu — byte-identical HLO, persistent-cache
-    safe). E4T_FUSED_GN=1 routes VMEM-resident slices through the
-    one-read Pallas kernel (ops/groupnorm.py); serving-path only (the
-    kernel has no VJP yet).
-    """
-    if gnops.fused_gn_enabled() and gnops.fused_gn_fits(x.shape, x.dtype):
-        return FusedGroupNormAct(num_groups=groups, epsilon=eps, act=act,
-                                 dtype=dtype, name=name)(x)
-    h = nn.GroupNorm(num_groups=groups, epsilon=eps, dtype=dtype,
-                     name=name)(x)
-    return nn.silu(h) if act == "silu" else h
+from e4t_diffusion_tpu.models.norm import (  # shared GN(+SiLU) dispatcher
+    FusedGroupNormAct, group_norm_act)
 
 
 @dataclasses.dataclass(frozen=True)

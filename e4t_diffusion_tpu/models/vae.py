@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from e4t_diffusion_tpu.ops.quant import Conv as QConv, Dense as QDense
+from e4t_diffusion_tpu.models.norm import group_norm_act
 
 
 @dataclasses.dataclass(frozen=True)
@@ -45,14 +46,12 @@ class VAEResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
-                         dtype=self.dtype, name="norm1")(x)
-        h = nn.silu(h)
+        h = group_norm_act(x, groups=self.groups, eps=1e-6,
+                           dtype=self.dtype, name="norm1", act="silu")
         h = QConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv1")(h)
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
-                         dtype=self.dtype, name="norm2")(h)
-        h = nn.silu(h)
+        h = group_norm_act(h, groups=self.groups, eps=1e-6,
+                           dtype=self.dtype, name="norm2", act="silu")
         h = QConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv2")(h)
         if self.use_shortcut:
@@ -72,8 +71,8 @@ class VAEAttentionBlock(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         residual = x
-        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
-                         dtype=self.dtype, name="group_norm")(x)
+        x = group_norm_act(x, groups=self.groups, eps=1e-6,
+                           dtype=self.dtype, name="group_norm")
         x = x.reshape(b, h * w, c)
         q = QDense(c, dtype=self.dtype, name="query")(x)
         k = QDense(c, dtype=self.dtype, name="key")(x)
@@ -150,9 +149,9 @@ class Encoder(nn.Module):
                                   name=f"down_blocks_{bi}_downsamplers_0")(x)
         x = VAEMidBlock(cfg.block_out_channels[-1], cfg.norm_num_groups,
                         dtype=self.dtype, name="mid_block")(x)
-        x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6,
-                         dtype=self.dtype, name="conv_norm_out")(x)
-        x = nn.silu(x)
+        x = group_norm_act(x, groups=cfg.norm_num_groups, eps=1e-6,
+                           dtype=self.dtype, name="conv_norm_out",
+                           act="silu")
         x = QConv(2 * cfg.latent_channels, (3, 3), padding=1,
                     dtype=self.dtype, name="conv_out")(x)
         return x
@@ -182,9 +181,9 @@ class Decoder(nn.Module):
             if not is_final:
                 x = VAEUpsample(out_ch, dtype=self.dtype,
                                 name=f"up_blocks_{bi}_upsamplers_0")(x)
-        x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6,
-                         dtype=self.dtype, name="conv_norm_out")(x)
-        x = nn.silu(x)
+        x = group_norm_act(x, groups=cfg.norm_num_groups, eps=1e-6,
+                           dtype=self.dtype, name="conv_norm_out",
+                           act="silu")
         x = QConv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv_out")(x)
         return x

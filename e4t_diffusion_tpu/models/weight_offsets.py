@@ -171,18 +171,46 @@ def fold_offset_bank(unet_params: PyTree, bank: Dict) -> PyTree:
     (training) or to call once and reuse across a whole sampling run
     (inference) — the main structural speedup over the reference's
     per-call recomputation.
+
+    The 96 hypernetwork evaluations are BATCHED by offset shape (vmap
+    over sites stacked on a leading axis) instead of dispatched as 96
+    chains of small GEMMs: SD-v1 has only 6 distinct (row, col) shapes,
+    so the whole bank evaluates as 6 batched matmul chains that tile the
+    MXU properly. Same math, same tree, differentiates identically
+    (round 4; the per-site path measured 6.5 ms/run against a ~1.5 ms
+    analytic FLOP floor — see docs/ARCHITECTURE.md).
     """
     import flax.core
+
+    # group sites by offset shape: (row, col) -> list of (name, wo_key)
+    groups: Dict[Tuple[int, int], List[Tuple[str, str]]] = {}
+    for name, offsets in bank.items():
+        for wo_key in WO_KEYS:
+            p = offsets[wo_key]
+            shape = (p["linear1"]["kernel"].shape[1],
+                     p["linear2"]["kernel"].shape[1])
+            groups.setdefault(shape, []).append((name, wo_key))
+
+    # one vmapped hypernetwork eval per shape group
+    computed: Dict[Tuple[str, str], jax.Array] = {}
+    batched_offset = jax.vmap(compute_offset)
+    for shape, members in groups.items():
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs),
+            *[bank[name][wo_key] for name, wo_key in members])
+        offs = batched_offset(stacked)  # (n_sites, row, col)
+        for i, key in enumerate(members):
+            computed[key] = offs[i]
 
     # unfreeze deep-copies the container structure (leaves shared), so the
     # in-place writes below never alias the caller's tree.
     params = flax.core.unfreeze(unet_params)
-    for name, offsets in bank.items():
+    for name in bank:
         attn = params
         for p in name.split("."):
             attn = attn[p]
         for wo_key, proj in _WO_TO_PROJ.items():
-            o = compute_offset(offsets[wo_key])
+            o = computed[(name, wo_key)]
             kernel = attn[proj]["kernel"]
             attn[proj]["kernel"] = kernel * (1.0 + o.astype(kernel.dtype))
     return params

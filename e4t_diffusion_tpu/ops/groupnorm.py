@@ -47,7 +47,8 @@ def _use_interpret() -> bool:
 
 
 def fused_gn_enabled() -> bool:
-    return os.environ.get("E4T_FUSED_GN", "0") not in ("0", "false", "")
+    return os.environ.get("E4T_FUSED_GN", "0").lower() not in (
+        "0", "false", "")
 
 
 # Per-sample VMEM budget for the resident slice: in (bf16/f32) + out +
@@ -108,13 +109,9 @@ def _gn_kernel(x_ref, scale_ref, bias_ref, mask_ref, o_ref,
     jax.lax.fori_loop(0, nchunks, write_body, 0)
 
 
-def fused_group_norm(x, scale, bias, *, groups: int, eps: float,
-                     act: str | None = None):
-    """GroupNorm(+activation) over NHWC `x`, one read + one write of HBM.
-
-    scale/bias: (C,) f32 affine params (flax nn.GroupNorm layout).
-    Caller is responsible for checking fused_gn_fits().
-    """
+def _fused_group_norm_impl(x, scale, bias, *, groups: int, eps: float,
+                           act: str | None = None):
+    """Raw kernel invocation (no VJP) — see fused_group_norm below."""
     n, h, w, c = x.shape
     hw = h * w
     chunk = hw if hw <= _ROW_CHUNK else _ROW_CHUNK
@@ -149,3 +146,60 @@ def fused_group_norm(x, scale, bias, *, groups: int, eps: float,
     )(xf, scale.reshape(1, c).astype(jnp.float32),
       bias.reshape(1, c).astype(jnp.float32), mask)
     return out.reshape(n, h, w, c)
+
+
+def _gn_reference(x, scale, bias, groups: int, eps: float,
+                  act: str | None):
+    """Pure-jnp GroupNorm(+SiLU), numerically matching the kernel.
+
+    f32 stats over (HW, C/G) per (sample, group), fast-variance form
+    (E[x^2]-E[x]^2) — the same formulation as the kernel and flax's
+    use_fast_variance path. Used only for the custom-VJP backward.
+    """
+    n, h, w, c = x.shape
+    xf = x.astype(jnp.float32).reshape(n, h * w, groups, c // groups)
+    mu = jnp.mean(xf, axis=(1, 3), keepdims=True)
+    var = jnp.mean(xf * xf, axis=(1, 3), keepdims=True) - mu * mu
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    y = y.reshape(n, h, w, c) * scale.astype(jnp.float32) + \
+        bias.astype(jnp.float32)
+    if act == "silu":
+        y = y * jax.nn.sigmoid(y)
+    return y.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _fused_gn_vjp(x, scale, bias, groups, eps, act):
+    return _fused_group_norm_impl(x, scale, bias, groups=groups, eps=eps,
+                                  act=act)
+
+
+def _fused_gn_fwd(x, scale, bias, groups, eps, act):
+    return (_fused_group_norm_impl(x, scale, bias, groups=groups, eps=eps,
+                                   act=act),
+            (x, scale, bias))
+
+
+def _fused_gn_bwd(groups, eps, act, res, g):
+    x, scale, bias = res
+    _, vjp = jax.vjp(
+        lambda xx, ss, bb: _gn_reference(xx, ss, bb, groups, eps, act),
+        x, scale, bias)
+    return vjp(g)
+
+
+_fused_gn_vjp.defvjp(_fused_gn_fwd, _fused_gn_bwd)
+
+
+def fused_group_norm(x, scale, bias, *, groups: int, eps: float,
+                     act: str | None = None):
+    """GroupNorm(+activation) over NHWC `x`, one read + one write of HBM.
+
+    scale/bias: (C,) f32 affine params (flax nn.GroupNorm layout).
+    Caller is responsible for checking fused_gn_fits().
+
+    Differentiable: forward runs the Pallas kernel; backward is the
+    analytic GN(+SiLU) VJP via jax.vjp of a pure-jnp reference (XLA
+    fuses it), so E4T_FUSED_GN=1 is safe inside training traces.
+    """
+    return _fused_gn_vjp(x, scale, bias, groups, eps, act)

@@ -105,7 +105,8 @@ DEFAULT_EXCLUDE = ("conv_in", "conv_out", "time_embedding")
 
 def quantize_params(tree: dict, act_amax: Optional[dict] = None,
                     act_headroom: Optional[float] = None,
-                    exclude: Optional[tuple] = None) -> dict:
+                    exclude: Optional[tuple] = None,
+                    static_exclude: Optional[tuple] = None) -> dict:
     """Rewrite every matmul/conv ``kernel`` leaf (ndim 2 or 4) to its
     int8 form. Norm scales (1-D) and biases are untouched. Subtrees
     whose module name is in ``exclude`` (default ``DEFAULT_EXCLUDE``)
@@ -120,6 +121,12 @@ def quantize_params(tree: dict, act_amax: Optional[dict] = None,
     ``act_headroom`` defaults to ``E4T_INT8_CALIB_HEADROOM`` (1.0) —
     read at trace time, so serving callers (pipeline._sample_body) get
     the knob without plumbing.
+    ``static_exclude``: module-path substrings whose sites stay on
+    DYNAMIC activation scales even when ``act_amax`` is given (the
+    kernel is still int8; only the per-call abs-max is kept). Defaults
+    to ``E4T_INT8_STATIC_EXCLUDE`` (comma list, trace-time). This is
+    the static-int8 quality attribution knob (scripts/int8_quality.py
+    sweep): excluded sites pay the ~abs-max cost but track live ranges.
     """
     import os
 
@@ -130,17 +137,22 @@ def quantize_params(tree: dict, act_amax: Optional[dict] = None,
         env = os.environ.get("E4T_INT8_EXCLUDE")
         exclude = (tuple(x for x in env.split(",") if x)
                    if env is not None else DEFAULT_EXCLUDE)
+    if static_exclude is None:
+        env = os.environ.get("E4T_INT8_STATIC_EXCLUDE", "")
+        static_exclude = tuple(x for x in env.split(",") if x)
 
-    def walk(node, calib):
+    def walk(node, calib, path):
         out = {}
         for k, v in node.items():
+            sub = f"{path}/{k}" if path else k
             if k in exclude:
                 out[k] = v  # whole subtree stays full precision
             elif isinstance(v, dict):
-                out[k] = walk(v, calib.get(k, {}) if calib else {})
+                out[k] = walk(v, calib.get(k, {}) if calib else {}, sub)
             elif k == "kernel" and hasattr(v, "ndim") and v.ndim in (2, 4):
                 out[k] = quantize_kernel(v)
-                if calib and "amax" in calib:
+                if (calib and "amax" in calib
+                        and not any(p in sub for p in static_exclude)):
                     amax = jnp.asarray(calib["amax"], jnp.float32)
                     out[k]["sa"] = (jnp.maximum(amax * act_headroom, _EPS)
                                     / 127.0)
@@ -148,7 +160,7 @@ def quantize_params(tree: dict, act_amax: Optional[dict] = None,
                 out[k] = v
         return out
 
-    return walk(tree, act_amax or {})
+    return walk(tree, act_amax or {}, "")
 
 
 def _quantize_activation(x: jax.Array, sa: Optional[jax.Array] = None,

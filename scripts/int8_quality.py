@@ -24,6 +24,17 @@ E4T_QUAL_MODE — comma list of configs (default static):
                              (ops/attention.int8_flash_attention)
   static_attn                static-act int8 + int8 attention "qk"
                              (the combined serving candidate)
+  static~G1:G2:...           static-act int8 with sites whose module
+                             path contains any Gi kept on DYNAMIC
+                             scales (quant.quantize_params
+                             static_exclude) — the per-site
+                             attribution sweep for the static-vs-
+                             dynamic quality gap
+  calib_gap                  no trajectory: run a FULL-length
+                             calibration and report the sites whose
+                             live activation range most exceeds the
+                             8-step calibrated amax (the clipping
+                             candidates that drive the static penalty)
   both = static,dynamic (back-compat)
 E4T_QUAL_TINY (1 = tiny config on CPU, used by the test suite).
 Output: one JSON line per config with per-step relative divergence.
@@ -108,14 +119,23 @@ def main():
 
     common = (params["text"], params["e4t"])
 
-    def run_traj(int8, seed_latents, act_amax=None, int8_attn=False):
-        fn = make_trajectory_fn(modules, sched, steps, gs, des, int8=int8,
-                                int8_attn=int8_attn)
-        extra = (act_amax,) if int8 == "static" else ()
-        traj = fn(params["unet"], params["offsets"], *common, seed_latents,
-                  pixels, inputs_embeds, ph_idx, uncond_ids, class_embed,
-                  noise_rng, *extra)
-        return np.asarray(jax.device_get(traj), np.float32)
+    def run_traj(int8, seed_latents, act_amax=None, int8_attn=False,
+                 static_exclude=""):
+        prev = os.environ.get("E4T_INT8_STATIC_EXCLUDE")
+        os.environ["E4T_INT8_STATIC_EXCLUDE"] = static_exclude
+        try:
+            fn = make_trajectory_fn(modules, sched, steps, gs, des,
+                                    int8=int8, int8_attn=int8_attn)
+            extra = (act_amax,) if int8 == "static" else ()
+            traj = fn(params["unet"], params["offsets"], *common,
+                      seed_latents, pixels, inputs_embeds, ph_idx,
+                      uncond_ids, class_embed, noise_rng, *extra)
+            return np.asarray(jax.device_get(traj), np.float32)
+        finally:
+            if prev is None:
+                os.environ.pop("E4T_INT8_STATIC_EXCLUDE", None)
+            else:
+                os.environ["E4T_INT8_STATIC_EXCLUDE"] = prev
 
     print(f"[int8_quality] {'tiny' if tiny else 'SD-v1'} geometry, "
           f"{res}px, {steps} steps, batch {batch}", file=sys.stderr)
@@ -140,24 +160,72 @@ def main():
     }
     results = []
     modes = ["static", "dynamic"] if mode == "both" else mode.split(",")
-    if (any(CONFIGS[m][1] for m in modes)
+    if (any(CONFIGS.get(m, ("", False))[1] for m in modes)
             and jax.default_backend() != "tpu"):
         print("[int8_quality] WARNING: attention int8 modes only take "
               "effect where the dispatcher routes to flash (TPU backend, "
               "above-threshold sites) — on this backend they measure 0 "
               "divergence by construction", file=sys.stderr)
-    act_amax = None
-    for m in modes:
-        int8, int8_attn = CONFIGS[m]
-        if int8 == "static" and act_amax is None:
+    def get_amax():
+        nonlocal act_amax
+        if act_amax is None:
             calib_steps = min(8, steps)
             cfn = make_calibration_fn(modules, sched, calib_steps, gs, des)
             act_amax = cfn(params["unet"], params["offsets"], *common,
                            latents0, pixels, inputs_embeds, ph_idx,
                            uncond_ids, class_embed, noise_rng)
+        return act_amax
+
+    def calib_gap():
+        """FULL-length calibration vs the 8-step one: which sites' live
+        activation ranges exceed the calibrated amax (i.e. clip under
+        static scales), and by how much. No trajectory run needed —
+        this is the cheap attribution pass that picks the sweep groups."""
+        from jax.tree_util import tree_flatten_with_path, keystr
+
+        cfn_full = make_calibration_fn(modules, sched, steps, gs, des)
+        amax_full = cfn_full(params["unet"], params["offsets"], *common,
+                             latents0, pixels, inputs_embeds, ph_idx,
+                             uncond_ids, class_embed, noise_rng)
+        short = get_amax()
+        flat_f, _ = tree_flatten_with_path(jax.device_get(amax_full))
+        flat_s, _ = tree_flatten_with_path(jax.device_get(short))
+        rows = []
+        for (pf, vf), (ps, vs) in zip(flat_f, flat_s):
+            assert keystr(pf) == keystr(ps)
+            full, cal = float(np.max(vf)), float(np.max(vs))
+            rows.append((full / max(cal, 1e-12), cal, full,
+                         keystr(pf).replace("['", "/").replace("']", "")))
+        rows.sort(reverse=True)
+        out = {
+            "metric": "int8_static_calib_gap",
+            "unit": "live_amax / calibrated_amax (>1 clips)",
+            "calib_steps": min(8, steps), "full_steps": steps,
+            "n_sites": len(rows),
+            "n_clipping": sum(1 for r in rows if r[0] > 1.0 + 1e-6),
+            "worst": [{"site": r[3], "ratio": round(r[0], 4),
+                       "calib_amax": round(r[1], 4),
+                       "live_amax": round(r[2], 4)} for r in rows[:20]],
+        }
+        results.append(out)
+        print(json.dumps(out))
+
+    act_amax = None
+    for m in modes:
+        if m == "calib_gap":
+            calib_gap()
+            continue
+        static_exclude = ""
+        if m.startswith("static~"):
+            static_exclude = m.split("~", 1)[1].replace(":", ",")
+            int8, int8_attn = "static", False
+        else:
+            int8, int8_attn = CONFIGS[m]
+        if int8 == "static":
+            get_amax()
         t_q = run_traj(int8, latents0,
                        act_amax if int8 == "static" else None,
-                       int8_attn=int8_attn)
+                       int8_attn=int8_attn, static_exclude=static_exclude)
         d = rel(t_q, t_bf16)
         # headline: final-step divergence as a fraction of the
         # unrelated-samples distance (0 = identical, 1 = as different

@@ -94,6 +94,41 @@ def test_offset_sites_count_sd_v1():
     assert n_modules == 96
 
 
+def test_fold_offset_bank_batched_matches_per_site():
+    """The shape-grouped vmapped fold (round 4) == the naive per-site
+    loop, at every one of the bank's sites/projections."""
+    import flax.core
+
+    cfg = UNetConfig.tiny()
+    m = UNet2DConditionModel(cfg)
+    rng = jax.random.PRNGKey(0)
+    params = m.init(rng, jnp.ones((1, 4, 8, 8)), jnp.array([3]),
+                    jnp.ones((1, 7, 32)))["params"]
+    bank = wo.init_offset_bank(jax.random.PRNGKey(1), cfg)
+
+    folded = wo.fold_offset_bank(params, bank)
+
+    ref = flax.core.unfreeze(params)
+    for name, offsets in bank.items():
+        attn = ref
+        for p in name.split("."):
+            attn = attn[p]
+        for wo_key, proj in (("wo_q", "to_q"), ("wo_k", "to_k"),
+                             ("wo_v", "to_v")):
+            o = wo.compute_offset(offsets[wo_key])
+            attn[proj]["kernel"] = (
+                attn[proj]["kernel"] * (1.0 + o.astype(jnp.float32)))
+
+    for name in bank:
+        a, b = folded, ref
+        for p in name.split("."):
+            a, b = a[p], b[p]
+        for proj in ("to_q", "to_k", "to_v"):
+            np.testing.assert_allclose(
+                np.asarray(a[proj]["kernel"]), np.asarray(b[proj]["kernel"]),
+                rtol=1e-6, atol=1e-6, err_msg=f"{name}/{proj}")
+
+
 def test_fold_offset_bank_applies_multiplicative_update():
     cfg = UNetConfig.tiny()
     m = UNet2DConditionModel(cfg)
