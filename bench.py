@@ -191,9 +191,11 @@ def run_bench(batch: int, fallback: bool = False, int8=None):
     if int8 is None:
         int8_env = os.environ.get("E4T_BENCH_INT8", "0")
         int8 = "static" if int8_env == "static" else int8_env == "1"
-    # E4T_BENCH_INT8_AUX=1: also serve the ViT tower + VAE decode int8
-    # (dynamic act scales; --int8_aux in the CLIs)
-    int8_aux = os.environ.get("E4T_BENCH_INT8_AUX", "0") == "1"
+    # E4T_BENCH_INT8_AUX: 1 = also serve the ViT tower + VAE decode int8
+    # (dynamic act scales; --int8_aux), static = calibrated aux scales
+    # (--int8_aux_static)
+    aux_env = os.environ.get("E4T_BENCH_INT8_AUX", "0")
+    int8_aux = "static" if aux_env == "static" else aux_env == "1"
     fn = make_sample_fn(modules, scheduler, num_inference_steps=steps,
                         guidance_scale=7.5, domain_embed_scale=0.1,
                         int8=int8, int8_aux=int8_aux)
@@ -217,6 +219,13 @@ def run_bench(batch: int, fallback: bool = False, int8=None):
                    latents, pixel, inputs_embeds, ph_idx, uncond_ids,
                    class_embed, jax.random.PRNGKey(1))
         extra = (jax.block_until_ready(amax),)
+    if int8_aux == "static":
+        from e4t_diffusion_tpu.diffusion.pipeline import (
+            make_aux_calibration_fn)
+
+        acfn = make_aux_calibration_fn(modules)
+        extra = (*extra, jax.block_until_ready(
+            acfn(e4t_params, vae_params, pixel, latents)))
 
     args = (unet_params, offsets, vae_params, text_params, e4t_params,
             latents, pixel, inputs_embeds, ph_idx, uncond_ids, class_embed,
@@ -251,7 +260,7 @@ def run_bench(batch: int, fallback: bool = False, int8=None):
     n_chips = jax.device_count()
     tag = {False: "", True: "_int8", "static": "_int8static"}[int8]
     if int8_aux:
-        tag += "_aux"
+        tag += "_auxstatic" if int8_aux == "static" else "_aux"
     result = {
         "metric": (f"e4t_inference_{res}px_ddim{steps}{tag}"
                    f"_images_per_sec_per_chip"),

@@ -244,7 +244,7 @@ def make_sample_fn(modules: E4TModules, scheduler, num_inference_steps: int,
                    guidance_scale: float, domain_embed_scale: float,
                    return_latents: bool = False, eta: float = 0.0,
                    tp_mesh=None, int8: Union[bool, str] = False,
-                   int8_aux: bool = False,
+                   int8_aux: Union[bool, str] = False,
                    int8_attn: Union[bool, str] = False,
                    lora_scale: Optional[float] = None):
     """Build the jit-compiled end-to-end sampling function.
@@ -274,6 +274,12 @@ def make_sample_fn(modules: E4TModules, scheduler, num_inference_steps: int,
     so no calibration is needed: the per-call abs-max cost is amortized
     over the whole run, unlike the in-scan UNet where it costs
     ~3 ms/fwd. Independent of ``int8`` (the UNet knob).
+    ``int8_aux="static"``: the aux towers use calibrated static
+    activation scales too — the jitted fn takes a further trailing
+    argument, the tree from ``make_aux_calibration_fn`` — removing the
+    per-site abs-max reductions from the towers (the VAE decoder's are
+    full reads of up-to-512x512 activations; the ViT's ~130 sites are
+    latency-bound). This is the per-run-latency knob (round 4).
     ``int8_attn``: run the flash-attention inner matmuls (QK^T, and p@v
     with mode "qkpv") on the int8 MXU too
     (ops/attention.int8_flash_attention) — True is mode "qk". Covers the
@@ -284,9 +290,10 @@ def make_sample_fn(modules: E4TModules, scheduler, num_inference_steps: int,
     (models/lora.py) as a further trailing argument, folded into the
     effective kernels after the offsets (kernel*(1+O) + scale*down@up —
     the reference's LoRACrossAttnProcessor math, zero cost in the scan).
-    Trailing-argument order: (act_amax?, lora_bank?).
+    Trailing-argument order: (act_amax?, aux_amax?, lora_bank?).
     """
     static_act = int8 == "static"
+    aux_static = int8_aux == "static"
     if int8:
         from e4t_diffusion_tpu.models.unet import _fused_qkv_enabled
 
@@ -315,24 +322,29 @@ def make_sample_fn(modules: E4TModules, scheduler, num_inference_steps: int,
                      e4t_params, latents, pixel_values, inputs_embeds,
                      placeholder_idx, uncond_ids, class_embed, noise_rng,
                      extra):
-        n_expected = int(static_act) + int(lora_scale is not None)
+        n_expected = (int(static_act) + int(aux_static)
+                      + int(lora_scale is not None))
         assert len(extra) == n_expected, \
-            f"expected {n_expected} trailing args (act_amax? lora_bank? " \
-            f"per make_sample_fn flags), got {len(extra)}"
+            f"expected {n_expected} trailing args (act_amax? aux_amax? " \
+            f"lora_bank? per make_sample_fn flags), got {len(extra)}"
         it = iter(extra)
         act_amax = next(it) if static_act else None
+        aux_amax = next(it) if aux_static else None
         lora_bank = next(it) if lora_scale is not None else None
         if int8_aux:
             from e4t_diffusion_tpu.ops.quant import (DEFAULT_EXCLUDE,
                                                      quantize_params)
 
+            aux = aux_amax or {}
             e4t_params = {
                 **e4t_params,
-                "clip_vision": quantize_params(e4t_params["clip_vision"]),
+                "clip_vision": quantize_params(
+                    e4t_params["clip_vision"],
+                    act_amax=aux.get("e4t", {}).get("clip_vision")),
             }
             vae_params = quantize_params(
-                vae_params, exclude=DEFAULT_EXCLUDE + ("encoder",
-                                                       "quant_conv"))
+                vae_params, act_amax=aux.get("vae"),
+                exclude=DEFAULT_EXCLUDE + ("encoder", "quant_conv"))
         params_eff = wo.fold_offset_bank(unet_params, offsets)
         if lora_bank is not None:
             from e4t_diffusion_tpu.models import lora as lora_mod
@@ -384,7 +396,8 @@ def make_calibration_fn(modules: E4TModules, scheduler, num_calib_steps: int,
                         guidance_scale: float, domain_embed_scale: float,
                         eta: float = 0.0,
                         lora_scale: Optional[float] = None,
-                        tp_mesh=None):
+                        tp_mesh=None,
+                        return_final_latents: bool = False):
     """Activation-range calibration for static-act int8 serving
     (ops/quant.py): a jitted full-precision ``num_calib_steps`` sampling
     run built from the SAME loop body as make_sample_fn
@@ -396,7 +409,10 @@ def make_calibration_fn(modules: E4TModules, scheduler, num_calib_steps: int,
     still exceed them clip (margin knob: E4T_INT8_CALIB_HEADROOM, see
     quantize_params). ``tp_mesh``: pass the serving mesh so attention
     runs under the same shard_map specs as serving (required for
-    dp-sharded calibration inputs)."""
+    dp-sharded calibration inputs). ``return_final_latents``: also
+    return the run's final latents — representative VAE-decode inputs
+    for the aux-tower calibration (make_aux_calibration_fn), which would
+    otherwise only see initial noise."""
     run_loop = _build_denoise_loop(modules, scheduler, num_calib_steps,
                                    guidance_scale, domain_embed_scale, eta,
                                    collect_calib=True)
@@ -420,10 +436,11 @@ def make_calibration_fn(modules: E4TModules, scheduler, num_calib_steps: int,
                                                  lora_scale)
         with (head_sharded_attention(tp_mesh) if tp_mesh is not None
               else contextlib.nullcontext()):
-            _, amax = run_loop(params_eff, text_params, e4t_params, latents,
-                               pixel_values, inputs_embeds, placeholder_idx,
-                               uncond_ids, class_embed, noise_rng)
-        return amax
+            final, amax = run_loop(params_eff, text_params, e4t_params,
+                                   latents, pixel_values, inputs_embeds,
+                                   placeholder_idx, uncond_ids, class_embed,
+                                   noise_rng)
+        return (amax, final) if return_final_latents else amax
 
     def run(*args):
         from e4t_diffusion_tpu.ops import quant
@@ -431,6 +448,41 @@ def make_calibration_fn(modules: E4TModules, scheduler, num_calib_steps: int,
         # the flag is read at TRACE time; wrapping every call keeps any
         # retrace inside the context (normal programs stay byte-identical
         # — the persistent compile cache is unaffected by calibration)
+        with quant.calibration_trace():
+            return calibrate(*args)
+
+    return run
+
+
+def make_aux_calibration_fn(modules: E4TModules):
+    """Activation-range calibration for the auxiliary towers
+    (``int8_aux="static"``): one ViT-H encode + one VAE decode with the
+    quant drop-ins sowing their per-site abs-max. Returns a jitted
+    ``fn(e4t_params, vae_params, pixel_values, latents) -> {"e4t": tree,
+    "vae": tree}`` whose result is the ``aux_amax`` trailing argument of
+    make_sample_fn.
+
+    ``latents``: representative decode inputs. Initial-noise latents are
+    fine — SD's variance-preserving schedule keeps denoised latents at
+    the same scale (the int8 trajectory study measures final-latent
+    norms within ~10% of the prior's), and E4T_INT8_CALIB_HEADROOM adds
+    margin on top.
+    """
+
+    @jax.jit
+    def calibrate(e4t_params, vae_params, pixel_values, latents):
+        _, v_vit = modules.e4t_encoder.apply(
+            {"params": e4t_params}, pixel_values,
+            method=E4TEncoder.encode_image, mutable=["calib"])
+        scaling = modules.vae.config.scaling_factor
+        _, v_vae = modules.vae.apply(
+            {"params": vae_params}, latents / scaling,
+            method=AutoencoderKL.decode, mutable=["calib"])
+        return {"e4t": v_vit["calib"], "vae": v_vae["calib"]}
+
+    def run(*args):
+        from e4t_diffusion_tpu.ops import quant
+
         with quant.calibration_trace():
             return calibrate(*args)
 
@@ -498,7 +550,7 @@ class StableDiffusionE4TPipeline:
                  e4t_config, scheduler=None,
                  already_added_placeholder_token: bool = False,
                  tp_mesh=None, int8: Union[bool, str] = False,
-                 int8_aux: bool = False,
+                 int8_aux: Union[bool, str] = False,
                  int8_attn: Union[bool, str] = False,
                  lora_bank=None, lora_scale: float = 1.0,
                  dp_shard_batch: bool = False, act_scales=None):
@@ -518,8 +570,10 @@ class StableDiffusionE4TPipeline:
         # identically instead of each re-calibrating.
         self.int8 = int8
         # int8_aux: also serve the ViT tower + VAE decode path int8
-        # (dynamic act scales; see make_sample_fn)
+        # (False | True: dynamic act scales | "static": calibrated once
+        # on the first __call__; see make_sample_fn)
         self.int8_aux = int8_aux
+        self._aux_amax = None
         # int8_attn: flash-attention inner matmuls on the int8 MXU
         # (False | True=="qk" | "qkpv"; ops/attention.int8_flash_attention)
         self.int8_attn = int8_attn
@@ -666,20 +720,38 @@ class StableDiffusionE4TPipeline:
                   jnp.asarray(uncond_ids)[None], class_embed, noise_rng)
         lora_extra = (self.lora_bank,) if self.lora_bank is not None else ()
         extra = ()
+        calib_latents = latents  # best available VAE-decode calib input
         if self.int8 == "static":
             if self._act_amax is None:
                 import os
 
                 calib_steps = int(
                     os.environ.get("E4T_INT8_CALIB_STEPS", "8"))
+                want_final = (self.int8_aux == "static"
+                              and self._aux_amax is None)
                 cfn = make_calibration_fn(modules, scheduler, calib_steps,
                                           guidance_scale, des, eta=eta,
                                           lora_scale=self.lora_scale,
-                                          tp_mesh=self.tp_mesh)
-                self._act_amax = cfn(
+                                          tp_mesh=self.tp_mesh,
+                                          return_final_latents=want_final)
+                out = cfn(
                     self.params["unet"], self.params["offsets"],
                     text_params, self.params["e4t"], *common, *lora_extra)
+                if want_final:
+                    # denoised latents from the calibration run: the
+                    # representative VAE-decode range (initial noise
+                    # under-covers it — CFG-amplified latents clip)
+                    self._act_amax, calib_latents = out
+                else:
+                    self._act_amax = out
             extra = (self._act_amax,)
+        if self.int8_aux == "static":
+            if self._aux_amax is None:
+                acfn = make_aux_calibration_fn(modules)
+                self._aux_amax = acfn(self.params["e4t"],
+                                      self.params["vae"],
+                                      jnp.asarray(pixel), calib_latents)
+            extra = (*extra, self._aux_amax)
         images = fn(self.params["unet"], self.params["offsets"],
                     self.params["vae"], text_params, self.params["e4t"],
                     *common, *extra, *lora_extra)

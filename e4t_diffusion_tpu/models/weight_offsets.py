@@ -180,7 +180,11 @@ def fold_offset_bank(unet_params: PyTree, bank: Dict) -> PyTree:
     (round 4; the per-site path measured 6.5 ms/run against a ~1.5 ms
     analytic FLOP floor — see docs/ARCHITECTURE.md).
     """
+    import os
+
     import flax.core
+
+    batched = os.environ.get("E4T_BATCHED_FOLD", "1") != "0"
 
     # group sites by offset shape: (row, col) -> list of (name, wo_key)
     groups: Dict[Tuple[int, int], List[Tuple[str, str]]] = {}
@@ -191,16 +195,22 @@ def fold_offset_bank(unet_params: PyTree, bank: Dict) -> PyTree:
                      p["linear2"]["kernel"].shape[1])
             groups.setdefault(shape, []).append((name, wo_key))
 
-    # one vmapped hypernetwork eval per shape group
+    # one vmapped hypernetwork eval per shape group (E4T_BATCHED_FOLD=0
+    # falls back to per-site evals, kept for A/B measurement)
     computed: Dict[Tuple[str, str], jax.Array] = {}
-    batched_offset = jax.vmap(compute_offset)
-    for shape, members in groups.items():
-        stacked = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs),
-            *[bank[name][wo_key] for name, wo_key in members])
-        offs = batched_offset(stacked)  # (n_sites, row, col)
-        for i, key in enumerate(members):
-            computed[key] = offs[i]
+    if batched:
+        batched_offset = jax.vmap(compute_offset)
+        for shape, members in groups.items():
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs),
+                *[bank[name][wo_key] for name, wo_key in members])
+            offs = batched_offset(stacked)  # (n_sites, row, col)
+            for i, key in enumerate(members):
+                computed[key] = offs[i]
+    else:
+        for members in groups.values():
+            for name, wo_key in members:
+                computed[(name, wo_key)] = compute_offset(bank[name][wo_key])
 
     # unfreeze deep-copies the container structure (leaves shared), so the
     # in-place writes below never alias the caller's tree.

@@ -94,6 +94,13 @@ def parse_args():
                              "and the VAE decode path (dynamic act "
                              "scales, no calibration; independent of "
                              "--int8)")
+    parser.add_argument("--int8_aux_static", action="store_true",
+                        help="with --int8_aux: calibrate static "
+                             "activation scales for the aux towers too "
+                             "(one ViT encode + one VAE decode at the "
+                             "first prompt) and skip their per-call "
+                             "abs-max reductions — the per-run latency "
+                             "knob")
     parser.add_argument("--int8_attn", choices=["qk", "qkpv"], default=None,
                         help="run the flash-attention inner matmuls on "
                              "the int8 MXU too (SageAttention-style "
@@ -192,7 +199,8 @@ def build_pipeline(args) -> StableDiffusionE4TPipeline:
         # --int8_static_act implies --int8 (advisor r2: passing it alone
         # used to silently serve bf16)
         int8=("static" if args.int8_static_act else args.int8),
-        int8_aux=getattr(args, "int8_aux", False),
+        int8_aux=("static" if getattr(args, "int8_aux_static", False)
+                  else getattr(args, "int8_aux", False)),
         int8_attn=getattr(args, "int8_attn", None) or False,
         lora_bank=lora_bank, lora_scale=args.lora_scale,
         dp_shard_batch=dp_serving, act_scales=act_scales)

@@ -69,6 +69,10 @@ def main():
         # E4T_BENCH_SHAPES
         ("self_9216_d40_768px", 64, 9216, 9216, 40, 0),
         ("self_16384_d40_1024px", 64, 16384, 16384, 40, 0),
+        # ViT-H tower site (batch 8 x 16 heads, 257 tokens, d=80; 32
+        # layers per encode) — einsum-dispatched at the default
+        # threshold; select explicitly to compare einsum vs flash there
+        ("vit_257_d80", 128, 257, 257, 80, 0),
         ("self_256_d160", 64, 256, 256, 160, 5),
         ("self_64_d160", 64, 64, 64, 160, 1),
         ("cross_4096_d40", 64, 4096, 77, 40, 5),

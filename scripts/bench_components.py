@@ -184,9 +184,12 @@ def main():
         "text_encoder_ms": fl.text_encoder_forward(tcfg, batch),
         "vit_encode_ms": fl.vit_forward(ecfg.vit, batch),
         "vit_encode_int8_ms": fl.vit_forward(ecfg.vit, batch),
+        "vit_encode_int8_static_ms": fl.vit_forward(ecfg.vit, batch),
         "vae_decode_ms": batch * fl.vae_decode(modules.vae.config, res // 8),
         "vae_decode_int8_ms": batch * fl.vae_decode(modules.vae.config,
                                                     res // 8),
+        "vae_decode_int8_static_ms": batch * fl.vae_decode(
+            modules.vae.config, res // 8),
     }
 
     def add_mfu(res_dict):
@@ -197,32 +200,27 @@ def main():
                 mfu = f / (res_dict[name] * 1e-3) / fl.V5E_BF16_PEAK
                 res_dict[name.replace("_ms", "_mfu")] = round(mfu, 4)
 
-    if only:
-        results["batch"] = batch
-        results["blocks"] = (os.environ.get("E4T_FLASH_BLOCK_Q", "2048"),
-                             os.environ.get("E4T_FLASH_BLOCK_K", "512"))
-        results["threshold"] = os.environ.get("E4T_FLASH_THRESHOLD_BYTES",
-                                              "default")
-        add_mfu(results)
-        print(json.dumps({k: (round(v, 3) if isinstance(v, float) else v)
-                          for k, v in results.items()}))
-        return
-    results["unet_fwd_with_tap_ms"] = scan_time(
-        lambda x: modules.unet.apply({"params": unet_params}, x[0], t, x[1],
-                                     return_encoder_outputs="with_eps"),
-        (lats, ctxs))
+    if want("unet_fwd_with_tap"):
+        results["unet_fwd_with_tap_ms"] = scan_time(
+            lambda x: modules.unet.apply({"params": unet_params}, x[0], t,
+                                         x[1],
+                                         return_encoder_outputs="with_eps"),
+            (lats, ctxs))
 
-    embeds = jax.random.normal(ks[2], (iters, batch, 77, tcfg.hidden_size),
-                               dtype)
-    results["text_encoder_ms"] = scan_time(
-        lambda x: modules.text_encoder.apply({"params": text_params},
-                                             inputs_embeds=x)[0], embeds)
+    if want("text_encoder"):
+        embeds = jax.random.normal(ks[2],
+                                   (iters, batch, 77, tcfg.hidden_size),
+                                   dtype)
+        results["text_encoder_ms"] = scan_time(
+            lambda x: modules.text_encoder.apply({"params": text_params},
+                                                 inputs_embeds=x)[0], embeds)
 
     pixels = jax.random.normal(ks[3], (2, batch, 3, res, res), dtype)
-    results["vit_encode_ms"] = scan_time(
-        lambda x: modules.e4t_encoder.apply(
-            {"params": e4t_params}, x, method=E4TEncoder.encode_image),
-        pixels)
+    if want("vit_encode"):
+        results["vit_encode_ms"] = scan_time(
+            lambda x: modules.e4t_encoder.apply(
+                {"params": e4t_params}, x, method=E4TEncoder.encode_image),
+            pixels)
 
     if want("vit_encode_int8"):
         from e4t_diffusion_tpu.ops.quant import quantize_params
@@ -233,22 +231,43 @@ def main():
             lambda x: modules.e4t_encoder.apply(
                 {"params": e4t_q}, x, method=E4TEncoder.encode_image),
             pixels)
+    if want("vit_encode_int8_static") or want("vae_decode_int8_static"):
+        from e4t_diffusion_tpu.diffusion.pipeline import (
+            make_aux_calibration_fn)
 
-    vit_cfg = ecfg.vit
-    clip_feats = jax.random.normal(
-        ks[4], (iters, batch, ecfg.n_fused, vit_cfg.width), dtype)
-    unet_feats = jax.random.normal(
-        ks[5], (iters, batch, ecfg.unet_feature_dim), dtype)
-    results["e4t_fuse_ms"] = scan_time(
-        lambda x: modules.e4t_encoder.apply(
-            {"params": e4t_params}, x[0], x[1], method=E4TEncoder.fuse),
-        (clip_feats, unet_feats))
+        aux_amax = make_aux_calibration_fn(modules)(
+            e4t_params, vae_params, jnp.zeros((batch, 3, res, res), dtype),
+            jax.random.normal(ks[7], (batch, 4, res // 8, res // 8), dtype))
+    if want("vit_encode_int8_static"):
+        from e4t_diffusion_tpu.ops.quant import quantize_params
+
+        e4t_qs = {**e4t_params,
+                  "clip_vision": quantize_params(
+                      e4t_params["clip_vision"],
+                      act_amax=aux_amax["e4t"]["clip_vision"])}
+        results["vit_encode_int8_static_ms"] = scan_time(
+            lambda x: modules.e4t_encoder.apply(
+                {"params": e4t_qs}, x, method=E4TEncoder.encode_image),
+            pixels)
+
+    if want("e4t_fuse"):
+        vit_cfg = ecfg.vit
+        clip_feats = jax.random.normal(
+            ks[4], (iters, batch, ecfg.n_fused, vit_cfg.width), dtype)
+        unet_feats = jax.random.normal(
+            ks[5], (iters, batch, ecfg.unet_feature_dim), dtype)
+        results["e4t_fuse_ms"] = scan_time(
+            lambda x: modules.e4t_encoder.apply(
+                {"params": e4t_params}, x[0], x[1], method=E4TEncoder.fuse),
+            (clip_feats, unet_feats))
 
     dec_lats = jax.random.normal(ks[6], (2, batch, 4, res // 8, res // 8),
                                  dtype)
-    results["vae_decode_ms"] = scan_time(
-        lambda x: modules.vae.apply({"params": vae_params}, x,
-                                    method=AutoencoderKL.decode), dec_lats)
+    if want("vae_decode"):
+        results["vae_decode_ms"] = scan_time(
+            lambda x: modules.vae.apply({"params": vae_params}, x,
+                                        method=AutoencoderKL.decode),
+            dec_lats)
 
     if want("vae_decode_int8"):
         from e4t_diffusion_tpu.ops.quant import (DEFAULT_EXCLUDE,
@@ -261,23 +280,40 @@ def main():
             lambda x: modules.vae.apply({"params": vae_q}, x,
                                         method=AutoencoderKL.decode),
             dec_lats)
+    if want("vae_decode_int8_static"):
+        from e4t_diffusion_tpu.ops.quant import (DEFAULT_EXCLUDE,
+                                                 quantize_params)
 
-    offsets = cast(zeros_params(
-        lambda k: wo.init_offset_bank(k, modules.unet.config), rng))
-    # fold is param-only; vary via a scalar jitter on the bank
-    jit_scalars = jnp.linspace(0.0, 1e-4, 4).astype(dtype)
-    results["fold_offsets_ms"] = scan_time(
-        lambda s: wo.fold_offset_bank(
-            unet_params,
-            jax.tree_util.tree_map(lambda x: x + s, offsets)),
-        jit_scalars)
+        vae_qs = quantize_params(vae_params, act_amax=aux_amax["vae"],
+                                 exclude=DEFAULT_EXCLUDE + ("encoder",
+                                                            "quant_conv"))
+        results["vae_decode_int8_static_ms"] = scan_time(
+            lambda x: modules.vae.apply({"params": vae_qs}, x,
+                                        method=AutoencoderKL.decode),
+            dec_lats)
 
-    results["est_cfg_step_ms"] = (
-        results["unet_fwd_with_tap_ms"] + results["unet_fwd_ms"]
-        + results["text_encoder_ms"] + results["e4t_fuse_ms"])
+    if want("fold_offsets"):
+        offsets = cast(zeros_params(
+            lambda k: wo.init_offset_bank(k, modules.unet.config), rng))
+        # fold is param-only; vary via a scalar jitter on the bank
+        jit_scalars = jnp.linspace(0.0, 1e-4, 4).astype(dtype)
+        results["fold_offsets_ms"] = scan_time(
+            lambda s: wo.fold_offset_bank(
+                unet_params,
+                jax.tree_util.tree_map(lambda x: x + s, offsets)),
+            jit_scalars)
+
+    if all(k in results for k in ("unet_fwd_with_tap_ms", "unet_fwd_ms",
+                                  "text_encoder_ms", "e4t_fuse_ms")):
+        results["est_cfg_step_ms"] = (
+            results["unet_fwd_with_tap_ms"] + results["unet_fwd_ms"]
+            + results["text_encoder_ms"] + results["e4t_fuse_ms"])
     results["batch"] = batch
     results["blocks"] = (os.environ.get("E4T_FLASH_BLOCK_Q", "2048"),
                          os.environ.get("E4T_FLASH_BLOCK_K", "512"))
+    if only:
+        results["threshold"] = os.environ.get("E4T_FLASH_THRESHOLD_BYTES",
+                                              "default")
     add_mfu(results)
     print(json.dumps({k: (round(v, 3) if isinstance(v, float) else v)
                       for k, v in results.items()}))

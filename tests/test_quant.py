@@ -412,3 +412,56 @@ def test_int8_aux_sampling_close_to_bf16(tiny_unet_world):
     corr = np.corrcoef(ref.ravel(), q.ravel())[0, 1]
     assert corr > 0.97, corr
     assert np.abs(ref - q).mean() < 0.05
+
+
+def test_int8_aux_static_sampling_close_to_dynamic(tiny_unet_world):
+    """int8_aux="static" (calibrated aux-tower activation scales, round
+    4): the aux calibration fn returns per-site amax for the ViT tower
+    and the VAE decode path, make_sample_fn consumes it as the trailing
+    aux_amax arg, and the output stays close to the dynamic-aux run."""
+    from e4t_diffusion_tpu.diffusion.pipeline import (
+        make_aux_calibration_fn, make_sample_fn)
+    from e4t_diffusion_tpu.diffusion.schedulers import DDIMScheduler
+    from e4t_diffusion_tpu.models.clip_text import embed_tokens
+
+    modules, params = tiny_unet_world
+    tcfg = modules.text_encoder.config
+    L = tcfg.max_position_embeddings
+    ids = jnp.zeros((1, L), jnp.int32).at[0, 3].set(7)
+    embeds = embed_tokens(params["text"], ids)
+    latents = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 8, 8))
+    pixel = jnp.zeros((1, 3, 32, 32))
+    common = (latents, pixel, embeds, jnp.asarray([3], jnp.int32),
+              jnp.zeros((1, L), jnp.int32),
+              embed_tokens(params["text"], jnp.asarray([[5]]))[0, 0],
+              jax.random.PRNGKey(1))
+
+    # calibrate the VAE-decode range on DENOISED latents (what serving
+    # decodes) — the pipeline class uses its calibration run's final
+    # latents the same way; initial noise under-covers the CFG-amplified
+    # range and clips
+    final_latents = make_sample_fn(
+        modules, DDIMScheduler(), 4, 7.5, 0.1, return_latents=True)(
+        params["unet"], params["offsets"], params["vae"], params["text"],
+        params["e4t"], *common)
+    aux_amax = make_aux_calibration_fn(modules)(
+        params["e4t"], params["vae"], pixel, final_latents)
+    # the tree covers both towers with positive per-site ranges
+    assert "clip_vision" in aux_amax["e4t"]
+    leaves = jax.tree_util.tree_leaves(aux_amax["vae"])
+    assert leaves and all(float(x) > 0.0 for x in leaves)
+
+    dyn = np.asarray(make_sample_fn(
+        modules, DDIMScheduler(), 4, 7.5, 0.1, int8_aux=True)(
+        params["unet"], params["offsets"], params["vae"], params["text"],
+        params["e4t"], *common))
+    stat = np.asarray(make_sample_fn(
+        modules, DDIMScheduler(), 4, 7.5, 0.1, int8_aux="static")(
+        params["unet"], params["offsets"], params["vae"], params["text"],
+        params["e4t"], *common, aux_amax))
+    assert np.all(np.isfinite(stat))
+    # calibrated on the exact serving inputs -> scales match the live
+    # ranges; outputs should be near-identical up to re-rounding
+    rel = (np.linalg.norm(stat - dyn)
+           / max(np.linalg.norm(dyn), 1e-12))
+    assert rel < 0.15, rel
