@@ -34,6 +34,14 @@ class ViTConfig:
     num_heads: int = 16
     mlp_dim: int = 5120
     layer_norm_eps: float = 1e-5
+    # tanh-approximate GELU: a serving-latency knob candidate (open_clip
+    # uses exact erf; parity tests pin exact, so this stays opt-in until
+    # measured AND quality-bounded). scripts/bench_vit.py measures it.
+    gelu_approximate: bool = False
+    # attribution-only ablations (scripts/bench_vit.py): timing deltas
+    # for the MFU floor analysis, never used in serving
+    ablate_attn: bool = False
+    ablate_ln: bool = False
 
     @property
     def grid(self) -> int:
@@ -64,24 +72,27 @@ class ViTBlock(nn.Module):
         d, h = cfg.width, cfg.num_heads
         hd = d // h
 
-        r = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
-                         name="ln_1")(x)
+        r = x if cfg.ablate_ln else nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="ln_1")(x)
         # packed qkv projection (open_clip/torch MultiheadAttention layout)
         qkv = QDense(3 * d, dtype=self.dtype, name="attn_in_proj")(r)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         b, s = x.shape[0], x.shape[1]
-        q = q.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
-        k = k.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
-        v = v.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
-        o = dot_product_attention(q, k, v, scale=1.0 / math.sqrt(hd),
-                                  causal=self.causal)
-        o = o.transpose(0, 2, 1, 3).reshape(b, s, d)
+        if cfg.ablate_attn:
+            o = v  # projections kept, softmax-attention matmuls skipped
+        else:
+            q = q.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
+            k = k.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
+            v = v.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
+            o = dot_product_attention(q, k, v, scale=1.0 / math.sqrt(hd),
+                                      causal=self.causal)
+            o = o.transpose(0, 2, 1, 3).reshape(b, s, d)
         x = x + QDense(d, dtype=self.dtype, name="attn_out_proj")(o)
 
-        r = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
-                         name="ln_2")(x)
+        r = x if cfg.ablate_ln else nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="ln_2")(x)
         r = QDense(cfg.mlp_dim, dtype=self.dtype, name="mlp_c_fc")(r)
-        r = jax.nn.gelu(r, approximate=False)
+        r = jax.nn.gelu(r, approximate=cfg.gelu_approximate)
         r = QDense(d, dtype=self.dtype, name="mlp_c_proj")(r)
         return x + r
 

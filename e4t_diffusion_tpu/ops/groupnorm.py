@@ -17,9 +17,14 @@ reshapes are needed (C is the lane axis; C/G can be as small as 10 for
 SD-v1's 320-channel/32-group sites, which a (G, C/G) reshape would make
 the minor axis — a Mosaic anti-pattern).
 
-Serving-path only for now (no custom VJP): enable with E4T_FUSED_GN=1.
-Falls back to the caller's flax path for slices that don't fit VMEM
-(VAE decode's 512x512 stages) or off-TPU. Reference counterpart: the
+Carries a custom VJP (analytic flax-equivalent backward), so
+E4T_FUSED_GN=1 is safe in serving AND training traces. MEASURED
+NEGATIVE on v5e (round 4: UNet fwd 59.9 vs 55.9 ms at batch 8 — XLA's
+fused fast-variance GroupNorm already hits the 2R+1W traffic floor;
+full roofline in docs/KERNELS.md), so it stays OFF by default and is
+kept as flag-gated infrastructure for hardware where the fusion
+economics differ. Falls back to the caller's flax path for slices that
+don't fit VMEM or off-TPU. Reference counterpart: the
 torch.nn.GroupNorm calls inside the diffusers blocks the reference
 forks (/root/reference/e4t/models/unet_2d_blocks.py — resnet norm1/
 norm2, attention GroupNorm); numerics matched against flax

@@ -169,7 +169,8 @@ def main():
     def get_amax():
         nonlocal act_amax
         if act_amax is None:
-            calib_steps = min(8, steps)
+            calib_steps = int(os.environ.get("E4T_QUAL_CALIB_STEPS",
+                                             str(min(8, steps))))
             cfn = make_calibration_fn(modules, sched, calib_steps, gs, des)
             act_amax = cfn(params["unet"], params["offsets"], *common,
                            latents0, pixels, inputs_embeds, ph_idx,
@@ -200,7 +201,9 @@ def main():
         out = {
             "metric": "int8_static_calib_gap",
             "unit": "live_amax / calibrated_amax (>1 clips)",
-            "calib_steps": min(8, steps), "full_steps": steps,
+            "calib_steps": int(os.environ.get("E4T_QUAL_CALIB_STEPS",
+                                              str(min(8, steps)))),
+            "full_steps": steps,
             "n_sites": len(rows),
             "n_clipping": sum(1 for r in rows if r[0] > 1.0 + 1e-6),
             "worst": [{"site": r[3], "ratio": round(r[0], 4),
@@ -241,6 +244,9 @@ def main():
             "steps": steps, "res": res, "geometry":
                 "tiny" if tiny else "sd-v1",
         }
+        if int8 == "static":
+            out["calib_steps"] = int(os.environ.get(
+                "E4T_QUAL_CALIB_STEPS", str(min(8, steps))))
         results.append(out)
         print(json.dumps(out))
     return results
