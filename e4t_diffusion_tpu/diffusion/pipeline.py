@@ -353,9 +353,20 @@ def make_sample_fn(modules: E4TModules, scheduler, num_inference_steps: int,
                                                  lora_scale)
         if int8:
             # quantize the folded kernels ONCE per run, outside the scan
-            from e4t_diffusion_tpu.ops.quant import quantize_params
+            import os
 
-            params_eff = quantize_params(params_eff, act_amax=act_amax)
+            from e4t_diffusion_tpu.ops.quant import (UNET_STATIC_EXCLUDE,
+                                                     quantize_params)
+
+            params_eff = quantize_params(
+                params_eff, act_amax=act_amax,
+                # serving default: clip-prone residual convs stay on
+                # dynamic scales (near-dynamic quality, no measured
+                # cost — see UNET_STATIC_EXCLUDE). Env, when set,
+                # overrides (the attribution sweep's knob).
+                static_exclude=(None
+                                if "E4T_INT8_STATIC_EXCLUDE" in os.environ
+                                else UNET_STATIC_EXCLUDE))
 
         latents, _ = run_loop(params_eff, text_params, e4t_params, latents,
                               pixel_values, inputs_embeds, placeholder_idx,
@@ -515,10 +526,16 @@ def make_trajectory_fn(modules: E4TModules, scheduler,
             "pass act_amax iff int8='static'"
         params_eff = wo.fold_offset_bank(unet_params, offsets)
         if int8:
-            from e4t_diffusion_tpu.ops.quant import quantize_params
+            import os
+
+            from e4t_diffusion_tpu.ops.quant import (UNET_STATIC_EXCLUDE,
+                                                     quantize_params)
 
             params_eff = quantize_params(
-                params_eff, act_amax=extra[0] if static_act else None)
+                params_eff, act_amax=extra[0] if static_act else None,
+                static_exclude=(None
+                                if "E4T_INT8_STATIC_EXCLUDE" in os.environ
+                                else UNET_STATIC_EXCLUDE))
         _, traj = run_loop(params_eff, text_params, e4t_params, latents,
                            pixel_values, inputs_embeds, placeholder_idx,
                            uncond_ids, class_embed, noise_rng)

@@ -102,6 +102,22 @@ def is_quantized(leaf) -> bool:
 # E4T_INT8_EXCLUDE (comma list of module names; empty = quantize all).
 DEFAULT_EXCLUDE = ("conv_in", "conv_out", "time_embedding")
 
+# UNet sites kept on DYNAMIC activation scales under static-act serving
+# (kernels still int8). Attribution at SD-v1 geometry (round 4,
+# scripts/int8_quality.py calib_gap): the residual-carrying convs'
+# live activation ranges exceed an 8-step calibration by up to 1.8x
+# over the 50-step trajectory (218/282 sites clip, worst all
+# conv_shortcut / downsampler / upsampler convs), and excluding them
+# recovers near-dynamic quality (final-latent rel-L2 vs bf16: 0.0566
+# vs 0.052 full-dynamic / 0.105 all-static) at NO measured cost
+# (unet_fwd 48.6 vs 48.8 ms @ batch 8 — these sites are few and their
+# abs-max reductions are cheap relative to the savings elsewhere).
+# Calibrating longer instead is WORSE (50-step calib -> 0.170: wider
+# amax costs more resolution than the clipping it prevents). conv_in
+# needs no row here — DEFAULT_EXCLUDE keeps it full precision.
+# E4T_INT8_STATIC_EXCLUDE (set, possibly empty) overrides.
+UNET_STATIC_EXCLUDE = ("conv_shortcut", "downsamplers", "upsamplers")
+
 
 def quantize_params(tree: dict, act_amax: Optional[dict] = None,
                     act_headroom: Optional[float] = None,

@@ -465,3 +465,40 @@ def test_int8_aux_static_sampling_close_to_dynamic(tiny_unet_world):
     rel = (np.linalg.norm(stat - dyn)
            / max(np.linalg.norm(dyn), 1e-12))
     assert rel < 0.15, rel
+
+
+def test_unet_static_exclude_default(tiny_unet_world, monkeypatch):
+    """Serving default (round 4): under static-act int8, the clip-prone
+    residual convs (quant.UNET_STATIC_EXCLUDE) keep DYNAMIC activation
+    scales — int8 kernel ("q"/"s") but no "sa" — while ordinary sites
+    get the calibrated static scale. Attribution: calib_gap found those
+    sites' live ranges exceed an 8-step calibration by up to 1.8x and
+    excluding them recovers near-dynamic quality at no measured cost
+    (scripts/int8_quality.py, docs/KERNELS.md)."""
+    from jax.tree_util import keystr, tree_flatten_with_path
+
+    from e4t_diffusion_tpu.ops.quant import UNET_STATIC_EXCLUDE
+
+    monkeypatch.delenv("E4T_INT8_STATIC_EXCLUDE", raising=False)
+    modules, params = tiny_unet_world
+    # a synthetic amax tree: every site in range
+    with quant.calibration_trace():
+        tcfg = modules.text_encoder.config
+        _, v = modules.unet.apply(
+            {"params": params["unet"]}, jnp.ones((1, 4, 8, 8)),
+            jnp.zeros((1,), jnp.int32),
+            jnp.ones((1, tcfg.max_position_embeddings, tcfg.hidden_size)),
+            mutable=["calib"])
+        amax = v["calib"]
+    q = quant.quantize_params(params["unet"], act_amax=amax,
+                              static_exclude=UNET_STATIC_EXCLUDE)
+    flat = tree_flatten_with_path(q)[0]
+    sa_paths = {keystr(k) for k, _ in flat if keystr(k).endswith("['sa']")}
+    qk_paths = {keystr(k) for k, _ in flat if keystr(k).endswith("['q']")}
+    # the excluded groups are quantized (q) but carry no static scale
+    for group in UNET_STATIC_EXCLUDE:
+        g_q = [p for p in qk_paths if group in p]
+        assert g_q, f"tiny UNet has no quantized {group} site"
+        assert not any(group in p for p in sa_paths), group
+    # ordinary attention projections DO get the static scale
+    assert any("to_q" in p for p in sa_paths)
