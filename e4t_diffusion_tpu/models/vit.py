@@ -25,6 +25,22 @@ from e4t_diffusion_tpu.ops.attention import dot_product_attention
 from e4t_diffusion_tpu.ops.quant import Conv as QConv, Dense as QDense
 
 
+def _gelu_tanh_env() -> bool:
+    """E4T_VIT_GELU=tanh: serve the ViT MLP with tanh-approximate GELU.
+
+    Measured on v5e (scripts/bench_vit.py, batch 8, 2026-08-19): the
+    tower's exact-erf GELU costs 6.3 ms of 25.6 (25%) — 337M
+    transcendental evals per batch-8 encode — and the tanh approximation
+    recovers it (19.4 ms, 53%->70% MFU). Off by default: open_clip uses
+    exact erf (/root/reference/e4t/encoder.py:91-96 builds the tower via
+    open_clip) and the oracle parity tests pin it. Trace-time env knob,
+    like E4T_FUSED_QKV; quality bound in tests/test_vit_gelu_knob.py.
+    """
+    import os
+
+    return os.environ.get("E4T_VIT_GELU", "") == "tanh"
+
+
 @dataclasses.dataclass(frozen=True)
 class ViTConfig:
     image_size: int = 224
@@ -92,7 +108,8 @@ class ViTBlock(nn.Module):
         r = x if cfg.ablate_ln else nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="ln_2")(x)
         r = QDense(cfg.mlp_dim, dtype=self.dtype, name="mlp_c_fc")(r)
-        r = jax.nn.gelu(r, approximate=cfg.gelu_approximate)
+        r = jax.nn.gelu(r, approximate=cfg.gelu_approximate
+                        or _gelu_tanh_env())
         r = QDense(d, dtype=self.dtype, name="mlp_c_proj")(r)
         return x + r
 
