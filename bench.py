@@ -38,6 +38,28 @@ import numpy as np
 A100_REFERENCE_IMG_PER_SEC = 0.18
 
 
+def _baseline_at(res: int, steps: int, modules) -> float:
+    """A100 reference rate scaled to the benched resolution/step count.
+
+    The 0.18 img/s literature estimate is a 512px DDIM-50 figure; for
+    other configs scale it by the analytic per-image FLOP ratio
+    (utils/flops: 2x-CFG UNet forwards per step + the VAE decode — the
+    once-per-run encoders are amortized constants), so vs_baseline
+    stays a same-workload efficiency comparison instead of dividing a
+    1024px rate by a 512px reference.
+    """
+    if res == 512 and steps == 50:
+        return A100_REFERENCE_IMG_PER_SEC
+    from e4t_diffusion_tpu.utils import flops as fl
+
+    def per_image(r, s):
+        return (2 * s * fl.unet_forward(modules.unet.config, r // 8)
+                + fl.vae_decode(modules.vae.config, r // 8))
+
+    return (A100_REFERENCE_IMG_PER_SEC
+            * per_image(512, 50) / per_image(res, steps))
+
+
 def zeros_params(init_fn, *args):
     shapes = jax.eval_shape(init_fn, *args)
     return jax.tree_util.tree_map(
@@ -267,7 +289,7 @@ def run_bench(batch: int, fallback: bool = False, int8=None):
         "value": round(img_per_sec / n_chips, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round((img_per_sec / n_chips)
-                             / A100_REFERENCE_IMG_PER_SEC, 3),
+                             / _baseline_at(res, steps, modules), 3),
         "batch": batch,
         "peak_hbm_gb": peak_hbm_gb(),
     }

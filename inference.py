@@ -101,6 +101,14 @@ def parse_args():
                              "first prompt) and skip their per-call "
                              "abs-max reductions — the per-run latency "
                              "knob")
+    parser.add_argument("--vit_gelu_tanh", action="store_true",
+                        help="serve the ViT-H tower's GELU with the tanh "
+                             "approximation (open_clip uses exact erf — "
+                             "the parity default). Measured: encode 29.2 "
+                             "vs 38.4 ms at batch 8; feature deviation "
+                             "bounded in tests/test_vit_gelu_knob.py. "
+                             "The per-run latency knob, like "
+                             "--int8_aux_static")
     parser.add_argument("--int8_attn", choices=["qk", "qkpv"], default=None,
                         help="run the flash-attention inner matmuls on "
                              "the int8 MXU too (SageAttention-style "
@@ -134,6 +142,10 @@ def build_pipeline(args) -> StableDiffusionE4TPipeline:
     apply_platform_override()
     print(f"devices: {jax.devices()}")
     setup_compilation_cache()
+    if getattr(args, "vit_gelu_tanh", False):
+        # trace-time knob (models/vit._gelu_tanh_env); set before any
+        # encode program is traced
+        os.environ["E4T_VIT_GELU"] = "tanh"
     if args.dtype == "auto":
         dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
     else:

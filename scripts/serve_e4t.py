@@ -64,6 +64,7 @@ def parse_args():
     parser.add_argument("--int8", action="store_true")
     parser.add_argument("--int8_aux", action="store_true")
     parser.add_argument("--int8_aux_static", action="store_true")
+    parser.add_argument("--vit_gelu_tanh", action="store_true")
     parser.add_argument("--int8_attn", choices=["qk", "qkpv"], default=None)
     parser.add_argument("--int8_static_act", action="store_true")
     parser.add_argument("--act_scales", type=str, default=None,
