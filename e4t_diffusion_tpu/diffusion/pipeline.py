@@ -21,6 +21,7 @@ numerics follow the reference loop (pipeline:181-222) step for step.
 from __future__ import annotations
 
 import dataclasses
+import os as _os
 from typing import Any, Optional, Sequence, Union
 
 import numpy as np
@@ -240,6 +241,37 @@ def _build_denoise_loop(modules: E4TModules, scheduler, num_steps: int,
     return run_loop
 
 
+def _static_exclude_for(latents) -> Optional[tuple]:
+    """Regime-aware default for which UNet sites keep DYNAMIC activation
+    scales under static-act int8 (quant.UNET_STATIC_EXCLUDE rationale).
+
+    The dynamic abs-max is throughput-free but latency-hostile — each
+    excluded site serializes a full activation read + reduce→broadcast.
+    Measured (v5e, 2026-08-19, bench.py):
+
+      batch 8 / 512px: exclusions FREE (48.6 vs 48.8 ms unet fwd;
+        headline 1.6665) -> take the quality win (rel-L2 0.0566 vs
+        0.105 all-static)
+      batch 1 / 512px: exclusions cost 45% (0.519 vs 0.944 img/s
+        all-static; full-dynamic int8 is 0.234 — 4x worse than bf16)
+      batch 2 / 1024px: exclusions cost 21% (0.143 vs 0.180 all-static;
+        the abs-max reads ride 4x-larger activations)
+
+    So: the quality-improving exclusions apply only in the measured-free
+    regime (batch >= 4 at 512px); latency/hi-res regimes serve
+    all-static (quality bound rel-L2 0.105, flat per step — the
+    pre-round-4 default). E4T_INT8_STATIC_EXCLUDE (set, possibly empty)
+    overrides everything — returns None so quantize_params reads it.
+    Shapes are static at trace time, so this costs nothing in the jit.
+    """
+    if "E4T_INT8_STATIC_EXCLUDE" in _os.environ:
+        return None
+    from e4t_diffusion_tpu.ops.quant import UNET_STATIC_EXCLUDE
+
+    batch, res = latents.shape[0], latents.shape[-1] * 8
+    return UNET_STATIC_EXCLUDE if (batch >= 4 and res == 512) else ()
+
+
 def make_sample_fn(modules: E4TModules, scheduler, num_inference_steps: int,
                    guidance_scale: float, domain_embed_scale: float,
                    return_latents: bool = False, eta: float = 0.0,
@@ -353,20 +385,13 @@ def make_sample_fn(modules: E4TModules, scheduler, num_inference_steps: int,
                                                  lora_scale)
         if int8:
             # quantize the folded kernels ONCE per run, outside the scan
-            import os
-
-            from e4t_diffusion_tpu.ops.quant import (UNET_STATIC_EXCLUDE,
-                                                     quantize_params)
+            from e4t_diffusion_tpu.ops.quant import quantize_params
 
             params_eff = quantize_params(
                 params_eff, act_amax=act_amax,
-                # serving default: clip-prone residual convs stay on
-                # dynamic scales (near-dynamic quality, no measured
-                # cost — see UNET_STATIC_EXCLUDE). Env, when set,
-                # overrides (the attribution sweep's knob).
-                static_exclude=(None
-                                if "E4T_INT8_STATIC_EXCLUDE" in os.environ
-                                else UNET_STATIC_EXCLUDE))
+                # regime-aware default (quality exclusions only where
+                # they measured free); env overrides for sweeps
+                static_exclude=_static_exclude_for(latents))
 
         latents, _ = run_loop(params_eff, text_params, e4t_params, latents,
                               pixel_values, inputs_embeds, placeholder_idx,
@@ -526,16 +551,11 @@ def make_trajectory_fn(modules: E4TModules, scheduler,
             "pass act_amax iff int8='static'"
         params_eff = wo.fold_offset_bank(unet_params, offsets)
         if int8:
-            import os
-
-            from e4t_diffusion_tpu.ops.quant import (UNET_STATIC_EXCLUDE,
-                                                     quantize_params)
+            from e4t_diffusion_tpu.ops.quant import quantize_params
 
             params_eff = quantize_params(
                 params_eff, act_amax=extra[0] if static_act else None,
-                static_exclude=(None
-                                if "E4T_INT8_STATIC_EXCLUDE" in os.environ
-                                else UNET_STATIC_EXCLUDE))
+                static_exclude=_static_exclude_for(latents))
         _, traj = run_loop(params_eff, text_params, e4t_params, latents,
                            pixel_values, inputs_embeds, placeholder_idx,
                            uncond_ids, class_embed, noise_rng)

@@ -502,3 +502,24 @@ def test_unet_static_exclude_default(tiny_unet_world, monkeypatch):
         assert not any(group in p for p in sa_paths), group
     # ordinary attention projections DO get the static scale
     assert any("to_q" in p for p in sa_paths)
+
+
+def test_static_exclude_regime(monkeypatch):
+    """_static_exclude_for: quality exclusions only in the measured-free
+    regime (batch >= 4 at 512px); latency (batch < 4) and hi-res
+    (>512px) serve all-static; env override wins (returns None so
+    quantize_params reads the env)."""
+    import jax.numpy as jnp
+
+    from e4t_diffusion_tpu.diffusion.pipeline import _static_exclude_for
+    from e4t_diffusion_tpu.ops.quant import UNET_STATIC_EXCLUDE
+
+    monkeypatch.delenv("E4T_INT8_STATIC_EXCLUDE", raising=False)
+    lat = lambda b, res: jnp.zeros((b, 4, res // 8, res // 8))
+    assert _static_exclude_for(lat(8, 512)) == UNET_STATIC_EXCLUDE
+    assert _static_exclude_for(lat(4, 512)) == UNET_STATIC_EXCLUDE
+    assert _static_exclude_for(lat(1, 512)) == ()
+    assert _static_exclude_for(lat(2, 1024)) == ()
+    assert _static_exclude_for(lat(4, 768)) == ()
+    monkeypatch.setenv("E4T_INT8_STATIC_EXCLUDE", "conv_shortcut")
+    assert _static_exclude_for(lat(8, 512)) is None
