@@ -21,6 +21,9 @@ figure stays visible. Select a single config with E4T_BENCH_INT8
 
 Env knobs: E4T_BENCH_BATCH (default 8), E4T_BENCH_STEPS (50),
 E4T_BENCH_RES (512), E4T_BENCH_REPEATS (3), E4T_BENCH_INT8 (see above),
+E4T_BENCH_SCHEDULER (ddim | dpmpp — the DPM++ 2M fast-sampler serving
+row; pair with E4T_BENCH_STEPS=20, the standard quality-preserving
+fast config),
 E4T_BENCH_INT8_AUX (1 = int8 ViT tower + VAE decode too),
 E4T_BENCH_OUTAGE_WAIT (seconds to poll a down backend before giving up;
 default 1800, 0 disables the wait).
@@ -205,7 +208,17 @@ def run_bench(batch: int, fallback: bool = False, int8=None):
     offsets = cast(zeros_params(
         lambda k: wo.init_offset_bank(k, modules.unet.config), rng))
 
-    scheduler = DDIMScheduler(NoiseScheduleConfig())
+    # E4T_BENCH_SCHEDULER: ddim (default) | dpmpp — the fast-sampler
+    # serving row (DPM++ 2M at E4T_BENCH_STEPS=20 is the standard
+    # quality-preserving fast config; inference.py --scheduler_type)
+    sched_name = os.environ.get("E4T_BENCH_SCHEDULER", "ddim")
+    if sched_name == "dpmpp":
+        from e4t_diffusion_tpu.diffusion.schedulers import (
+            DPMSolverMultistepScheduler)
+
+        scheduler = DPMSolverMultistepScheduler(NoiseScheduleConfig())
+    else:
+        scheduler = DDIMScheduler(NoiseScheduleConfig())
     # int8: True = dynamic activation scales, "static" = calibrated
     # static scales (one short calibration run, untimed — matches
     # serving, where calibration happens once at model load). None →
@@ -284,7 +297,7 @@ def run_bench(batch: int, fallback: bool = False, int8=None):
     if int8_aux:
         tag += "_auxstatic" if int8_aux == "static" else "_aux"
     result = {
-        "metric": (f"e4t_inference_{res}px_ddim{steps}{tag}"
+        "metric": (f"e4t_inference_{res}px_{sched_name}{steps}{tag}"
                    f"_images_per_sec_per_chip"),
         "value": round(img_per_sec / n_chips, 4),
         "unit": "images/sec/chip",

@@ -36,6 +36,7 @@ E4T_QUAL_MODE — comma list of configs (default static):
                              8-step calibrated amax (the clipping
                              candidates that drive the static penalty)
   both = static,dynamic (back-compat)
+E4T_QUAL_SCHEDULER (ddim | dpmpp — bound the DPM++ fast-sampler config),
 E4T_QUAL_TINY (1 = tiny config on CPU, used by the test suite).
 Output: one JSON line per config with per-step relative divergence.
 """
@@ -115,7 +116,17 @@ def main():
     class_embed = 0.02 * jax.random.normal(ks[7], (tcfg.hidden_size,),
                                            jnp.float32)
     noise_rng = jax.random.PRNGKey(42)
-    sched = DDIMScheduler()
+    # E4T_QUAL_SCHEDULER: ddim (default) | dpmpp — bound the fast-sampler
+    # serving config (bench.py E4T_BENCH_SCHEDULER=dpmpp, 20 steps) with
+    # the same machinery; the 2nd-order multistep update feeds back int8
+    # error through TWO retained model outputs per step.
+    if os.environ.get("E4T_QUAL_SCHEDULER", "ddim") == "dpmpp":
+        from e4t_diffusion_tpu.diffusion.schedulers import (
+            DPMSolverMultistepScheduler)
+
+        sched = DPMSolverMultistepScheduler()
+    else:
+        sched = DDIMScheduler()
 
     common = (params["text"], params["e4t"])
 
@@ -243,6 +254,7 @@ def main():
             "per_step_rel_l2": [round(float(x), 5) for x in d],
             "steps": steps, "res": res, "geometry":
                 "tiny" if tiny else "sd-v1",
+            "scheduler": type(sched).__name__,
         }
         if int8 == "static":
             out["calib_steps"] = int(os.environ.get(

@@ -15,6 +15,8 @@ dispatch, result discarded):
   serve_int8     same, dynamic-int8 UNet
   serve_int8s    same, calibrated-static int8 (+ its calibration run)
   serve_int8s_aux same, plus int8 ViT tower + VAE decode (--int8_aux)
+  serve_dpmpp20  512px DPM++ 2M 20-step fast-sampler, int8-static
+                 (the E4T_BENCH_SCHEDULER=dpmpp serving row)
   tune_step      phase-2 train step at the bench_tuning config
   pretrain_step  phase-1 train step at the bench_pretrain config
 
@@ -38,9 +40,14 @@ def _want(name: str) -> bool:
 def _serve(kind: str) -> None:
     os.environ["E4T_BENCH_INT8"] = {
         "serve_bf16": "0", "serve_int8": "1", "serve_int8s": "static",
-        "serve_int8s_aux": "static"}[kind]
+        "serve_int8s_aux": "static", "serve_dpmpp20": "static"}[kind]
     os.environ["E4T_BENCH_INT8_AUX"] = (
         "1" if kind == "serve_int8s_aux" else "0")
+    if kind == "serve_dpmpp20":
+        os.environ["E4T_BENCH_SCHEDULER"] = "dpmpp"
+        os.environ.setdefault("E4T_BENCH_STEPS", "20")
+    else:
+        os.environ.pop("E4T_BENCH_SCHEDULER", None)
     os.environ["E4T_BENCH_REPEATS"] = "0"  # compile + one warmup dispatch
     import bench
 
@@ -74,6 +81,8 @@ def main():
             ("serve_int8", lambda: _serve("serve_int8")),
             ("serve_int8s", lambda: _serve("serve_int8s")),
             ("serve_int8s_aux", lambda: _serve("serve_int8s_aux")),
+            # last of the serve warms: it retargets E4T_BENCH_STEPS
+            ("serve_dpmpp20", lambda: _serve("serve_dpmpp20")),
             ("tune_step", _tune_step),
             ("pretrain_step", _pretrain_step)]
     failures = 0
