@@ -162,7 +162,7 @@ def main(wait=wait_for_backend):
     # default: bf16 first, validated-best (int8 static) LAST so a
     # tail-parsing driver records the headline config
     configs = {"both": [False, "static"], "0": [False], "1": [True],
-               "static": ["static"]}[int8_env]
+               "static": ["static"], "static_pc": ["static_pc"]}[int8_env]
     for int8 in configs:
         _run_config(int8, batch)
 
@@ -225,7 +225,8 @@ def run_bench(batch: int, fallback: bool = False, int8=None):
     # read E4T_BENCH_INT8 (precompile.py drives run_bench via that env).
     if int8 is None:
         int8_env = os.environ.get("E4T_BENCH_INT8", "0")
-        int8 = "static" if int8_env == "static" else int8_env == "1"
+        int8 = (int8_env if int8_env in ("static", "static_pc")
+                else int8_env == "1")
     # E4T_BENCH_INT8_AUX: 1 = also serve the ViT tower + VAE decode int8
     # (dynamic act scales; --int8_aux), static = calibrated aux scales
     # (--int8_aux_static)
@@ -243,7 +244,7 @@ def run_bench(batch: int, fallback: bool = False, int8=None):
     class_embed = jnp.zeros((tcfg.hidden_size,), dtype)
 
     extra = ()
-    if int8 == "static":
+    if int8 in ("static", "static_pc"):
         from e4t_diffusion_tpu.diffusion.pipeline import make_calibration_fn
 
         cfn = make_calibration_fn(
@@ -293,7 +294,8 @@ def run_bench(batch: int, fallback: bool = False, int8=None):
     from e4t_diffusion_tpu.utils.runtime import peak_hbm_gb
 
     n_chips = jax.device_count()
-    tag = {False: "", True: "_int8", "static": "_int8static"}[int8]
+    tag = {False: "", True: "_int8", "static": "_int8static",
+           "static_pc": "_int8staticpc"}[int8]
     if int8_aux:
         tag += "_auxstatic" if int8_aux == "static" else "_aux"
     result = {

@@ -173,7 +173,8 @@ def _build_denoise_loop(modules: E4TModules, scheduler, num_steps: int,
                     {"params": p}, x, t, c, mutable=["calib"]),
                 params_eff, latents, jnp.zeros((bsz,), jnp.int32), uncond_b)
             amax0 = jax.tree_util.tree_map(
-                lambda _: jnp.zeros((), jnp.float32), shapes[1]["calib"])
+                lambda l: jnp.zeros(l.shape, jnp.float32),
+                shapes[1]["calib"])
             carry0 = (state, latents, amax0)
         else:
             carry0 = (state, latents)
@@ -241,7 +242,7 @@ def _build_denoise_loop(modules: E4TModules, scheduler, num_steps: int,
     return run_loop
 
 
-def _static_exclude_for(latents) -> Optional[tuple]:
+def _static_exclude_for(latents, act_pc: bool = False) -> Optional[tuple]:
     """Regime-aware default for which UNet sites keep DYNAMIC activation
     scales under static-act int8 (quant.UNET_STATIC_EXCLUDE rationale).
 
@@ -266,6 +267,12 @@ def _static_exclude_for(latents) -> Optional[tuple]:
     """
     if "E4T_INT8_STATIC_EXCLUDE" in _os.environ:
         return None
+    if act_pc:
+        # per-channel static scales give each channel its own calibrated
+        # range, which is the failure mode the exclusions patch — serve
+        # all sites static in every regime (quality: int8_quality.py
+        # static_pc rows; env override above still applies for sweeps)
+        return ()
     from e4t_diffusion_tpu.ops.quant import UNET_STATIC_EXCLUDE
 
     batch, res = latents.shape[0], latents.shape[-1] * 8
@@ -297,7 +304,13 @@ def make_sample_fn(modules: E4TModules, scheduler, num_inference_steps: int,
     static activation scales — the jitted fn then takes an extra
     trailing argument, the ``act_amax`` tree from
     ``make_calibration_fn`` — and skips the per-call activation abs-max
-    reductions (~3 ms/UNet-fwd measured).
+    reductions (~3 ms/UNet-fwd measured). ``int8="static_pc"``: same
+    trailing argument and zero-reduction serving cost, but PER-CHANNEL
+    calibrated activation scales, folded into the kernels' contraction
+    axis before weight quantization (quant.quantize_params act_pc) —
+    channel outliers keep their own range, so no static-exclude sites
+    are needed in any regime (quality: scripts/int8_quality.py
+    static_pc rows).
     ``int8_aux``: also quantize the once-per-run auxiliary towers — the
     ViT-H image encoder and the VAE decode path (decoder +
     post_quant_conv; the pixel-head conv_in/conv_out stay fp via
@@ -324,7 +337,7 @@ def make_sample_fn(modules: E4TModules, scheduler, num_inference_steps: int,
     the reference's LoRACrossAttnProcessor math, zero cost in the scan).
     Trailing-argument order: (act_amax?, aux_amax?, lora_bank?).
     """
-    static_act = int8 == "static"
+    static_act = int8 in ("static", "static_pc")
     aux_static = int8_aux == "static"
     if int8:
         from e4t_diffusion_tpu.models.unet import _fused_qkv_enabled
@@ -389,9 +402,12 @@ def make_sample_fn(modules: E4TModules, scheduler, num_inference_steps: int,
 
             params_eff = quantize_params(
                 params_eff, act_amax=act_amax,
+                act_pc=(int8 == "static_pc"),
                 # regime-aware default (quality exclusions only where
-                # they measured free); env overrides for sweeps
-                static_exclude=_static_exclude_for(latents))
+                # they measured free; none under per-channel scales);
+                # env overrides for sweeps
+                static_exclude=_static_exclude_for(
+                    latents, act_pc=(int8 == "static_pc")))
 
         latents, _ = run_loop(params_eff, text_params, e4t_params, latents,
                               pixel_values, inputs_embeds, placeholder_idx,
@@ -538,7 +554,7 @@ def make_trajectory_fn(modules: E4TModules, scheduler,
     int8-vs-bf16 divergence study (scripts/int8_quality.py), mirroring
     the quality question the reference leaves to its fp16 autocast
     serving path (/root/reference/inference.py:139-149)."""
-    static_act = int8 == "static"
+    static_act = int8 in ("static", "static_pc")
     run_loop = _build_denoise_loop(modules, scheduler, num_inference_steps,
                                    guidance_scale, domain_embed_scale, eta,
                                    collect_calib=False, collect_traj=True)
@@ -555,7 +571,9 @@ def make_trajectory_fn(modules: E4TModules, scheduler,
 
             params_eff = quantize_params(
                 params_eff, act_amax=extra[0] if static_act else None,
-                static_exclude=_static_exclude_for(latents))
+                act_pc=(int8 == "static_pc"),
+                static_exclude=_static_exclude_for(
+                    latents, act_pc=(int8 == "static_pc")))
         _, traj = run_loop(params_eff, text_params, e4t_params, latents,
                            pixel_values, inputs_embeds, placeholder_idx,
                            uncond_ids, class_embed, noise_rng)
@@ -758,7 +776,7 @@ class StableDiffusionE4TPipeline:
         lora_extra = (self.lora_bank,) if self.lora_bank is not None else ()
         extra = ()
         calib_latents = latents  # best available VAE-decode calib input
-        if self.int8 == "static":
+        if self.int8 in ("static", "static_pc"):
             if self._act_amax is None:
                 import os
 

@@ -16,6 +16,22 @@ large inference lever. Scheme (standard symmetric PTQ):
   activation abs-max (the ``calib`` collection sown below), the scale is
   baked next to the int8 kernel (``"sa"``), and serving skips the
   per-call abs-max reduction entirely (~3 ms/UNet-fwd measured);
+  OR calibrated static PER-CHANNEL scales (``act_pc=True`` /
+  ``--int8_pc_act`` / ``int8="static_pc"``): each input channel gets its
+  own calibrated scale vector ``"sac"``, FOLDED into the weight along
+  the contraction axis before weight quantization — so serving pays the
+  same zero-reduction cost as per-tensor static (one fusable broadcast
+  divide), but outlier channels no longer force a shared range
+  (per-tensor static loses resolution to the largest channel and clips
+  where trajectories outgrow the calibration; both effects are
+  per-channel under ``sac``). Exactness: ``x @ W = (x/s_c) @ (W*s_c)``
+  — the fold is algebraic, only the two roundings differ. The fold
+  exponent is SmoothQuant-style ``E4T_INT8_PC_ALPHA`` (default 0.5:
+  the divisor is ``a_c^0.5 * max_c(a_c^0.5)/127``) — a full fold
+  (alpha=1) pushes outlier channels into the weight where per-output
+  scales can't absorb them; 0.5 measured 5.1x better than per-tensor
+  and 2.3x better than alpha=1 on a 50x-outlier channel
+  (tests/test_quant.py::test_static_pc_fold...);
 - GroupNorm/LayerNorm/SiLU/softmax and the flash-attention inner math
   stay bf16/f32.
 
@@ -91,8 +107,8 @@ def quantize_kernel(w: jax.Array) -> dict:
 
 
 def is_quantized(leaf) -> bool:
-    return isinstance(leaf, dict) and set(leaf) in ({"q", "s"},
-                                                    {"q", "s", "sa"})
+    return isinstance(leaf, dict) and set(leaf) in (
+        {"q", "s"}, {"q", "s", "sa"}, {"q", "s", "sac"})
 
 
 # Module subtrees kept in full precision by default (advisor r2):
@@ -122,7 +138,8 @@ UNET_STATIC_EXCLUDE = ("conv_shortcut", "downsamplers", "upsamplers")
 def quantize_params(tree: dict, act_amax: Optional[dict] = None,
                     act_headroom: Optional[float] = None,
                     exclude: Optional[tuple] = None,
-                    static_exclude: Optional[tuple] = None) -> dict:
+                    static_exclude: Optional[tuple] = None,
+                    act_pc: Optional[bool] = None) -> dict:
     """Rewrite every matmul/conv ``kernel`` leaf (ndim 2 or 4) to its
     int8 form. Norm scales (1-D) and biases are untouched. Subtrees
     whose module name is in ``exclude`` (default ``DEFAULT_EXCLUDE``)
@@ -143,12 +160,28 @@ def quantize_params(tree: dict, act_amax: Optional[dict] = None,
     to ``E4T_INT8_STATIC_EXCLUDE`` (comma list, trace-time). This is
     the static-int8 quality attribution knob (scripts/int8_quality.py
     sweep): excluded sites pay the ~abs-max cost but track live ranges.
+    ``act_pc``: use PER-CHANNEL static activation scales (the
+    ``"amax_c"`` vectors the calibration sows next to ``"amax"``): the
+    per-channel scale is folded into the kernel's contraction axis
+    before weight quantization (``x @ W = (x/s_c) @ (W*s_c)``), so
+    serving quantizes the activation with a broadcast divide — same
+    zero-reduction cost as per-tensor static, but channel outliers keep
+    their own range (module docstring). Sites whose calibration lacks
+    ``"amax_c"`` (e.g. a pre-round-4 --act_scales file) fall back to
+    the per-tensor ``"sa"``. Defaults to ``E4T_INT8_ACT_PC`` (0).
     """
     import os
 
     if act_headroom is None:
         act_headroom = float(os.environ.get("E4T_INT8_CALIB_HEADROOM",
                                             "1.0"))
+    if act_pc is None:
+        act_pc = os.environ.get("E4T_INT8_ACT_PC", "0").lower() not in (
+            "0", "false", "")
+    # E4T_INT8_PC_ALPHA: 0 = per-tensor static, 1 = full per-channel
+    # fold; 0.5 (default) balances activation clipping against the
+    # weight-range inflation the fold causes (see the fold site below)
+    pc_alpha = float(os.environ.get("E4T_INT8_PC_ALPHA", "0.5"))
     if exclude is None:
         env = os.environ.get("E4T_INT8_EXCLUDE")
         exclude = (tuple(x for x in env.split(",") if x)
@@ -166,9 +199,32 @@ def quantize_params(tree: dict, act_amax: Optional[dict] = None,
             elif isinstance(v, dict):
                 out[k] = walk(v, calib.get(k, {}) if calib else {}, sub)
             elif k == "kernel" and hasattr(v, "ndim") and v.ndim in (2, 4):
+                static_here = (calib and "amax" in calib
+                               and not any(p in sub for p in static_exclude))
+                if static_here and act_pc and "amax_c" in calib:
+                    # per-channel static: fold the activation scale into
+                    # the contraction axis (dense (in, out) axis 0; conv
+                    # (kh, kw, I, O) axis 2 — both ndim-2), THEN quantize.
+                    # alpha balances the fold SmoothQuant-style: act
+                    # divisor a_c^alpha * max_c(a_c^(1-alpha))/127 — the
+                    # full fold (alpha=1) transfers the outlier channel
+                    # into the weight, where the per-OUTPUT-channel
+                    # weight scale can't absorb it (measured 2.3x worse
+                    # than alpha=0.5 on a 50x-outlier; alpha=0 is plain
+                    # per-tensor). Serving cost is alpha-independent:
+                    # only the sac values change.
+                    amax_c = jnp.maximum(
+                        jnp.asarray(calib["amax_c"], jnp.float32)
+                        * act_headroom, _EPS)
+                    sac = (amax_c ** pc_alpha
+                           * jnp.max(amax_c ** (1.0 - pc_alpha)) / 127.0)
+                    shape = (1,) * (v.ndim - 2) + (sac.shape[0], 1)
+                    out[k] = quantize_kernel(
+                        v.astype(jnp.float32) * sac.reshape(shape))
+                    out[k]["sac"] = sac
+                    continue
                 out[k] = quantize_kernel(v)
-                if (calib and "amax" in calib
-                        and not any(p in sub for p in static_exclude)):
+                if static_here:
                     amax = jnp.asarray(calib["amax"], jnp.float32)
                     out[k]["sa"] = (jnp.maximum(amax * act_headroom, _EPS)
                                     / 127.0)
@@ -179,20 +235,25 @@ def quantize_params(tree: dict, act_amax: Optional[dict] = None,
     return walk(tree, act_amax or {}, "")
 
 
-def _quantize_activation(x: jax.Array, sa: Optional[jax.Array] = None,
+def _quantize_activation(x: jax.Array, kdict: dict,
                          ) -> Tuple[jax.Array, jax.Array]:
-    """Per-tensor symmetric int8: dynamic abs-max scale, or the
-    calibrated static scale ``sa`` when provided."""
-    if sa is not None:
-        s = sa
-    else:
+    """Symmetric int8 activation: dynamic per-tensor abs-max scale, the
+    calibrated per-tensor static scale ``"sa"``, or the calibrated
+    per-channel vector ``"sac"`` (whose magnitude is already folded into
+    the int8 kernel, so the returned dequant factor is 1)."""
+    sac = kdict.get("sac")
+    if sac is not None:
+        q = jnp.clip(jnp.round(x.astype(jnp.float32) / sac), -127, 127)
+        return q.astype(jnp.int8), jnp.ones((), jnp.float32)
+    s = kdict.get("sa")
+    if s is None:
         s = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), _EPS) / 127.0
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127)
     return q.astype(jnp.int8), s
 
 
 def int8_dense(x: jax.Array, kdict: dict, dtype) -> jax.Array:
-    xq, sx = _quantize_activation(x, kdict.get("sa"))
+    xq, sx = _quantize_activation(x, kdict)
     y = jax.lax.dot_general(
         xq, kdict["q"], (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
@@ -201,7 +262,7 @@ def int8_dense(x: jax.Array, kdict: dict, dtype) -> jax.Array:
 
 def int8_conv(x: jax.Array, kdict: dict, strides, padding, dtype):
     """NHWC x HWIO int8 conv -> int32 -> rescale."""
-    xq, sx = _quantize_activation(x, kdict.get("sa"))
+    xq, sx = _quantize_activation(x, kdict)
     y = jax.lax.conv_general_dilated(
         xq, kdict["q"], window_strides=strides, padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -219,11 +280,18 @@ def _maybe_quantized_kernel(module: nn.Module) -> Optional[dict]:
 def _sow_act_amax(module: nn.Module, x: jax.Array) -> None:
     """Under calibration_trace(), record this site's activation abs-max
     (running max across calls within one apply; callers running several
-    applies max-reduce the returned collections)."""
+    applies max-reduce the returned collections). Sows both the
+    per-tensor scalar ``"amax"`` and the per-input-channel (last-axis)
+    vector ``"amax_c"`` so one calibration serves per-tensor static
+    (``"sa"``) AND per-channel static (``"sac"``) quantization."""
     if calibrating() and not module.is_initializing():
-        module.sow("calib", "amax",
-                   jnp.max(jnp.abs(x.astype(jnp.float32))),
+        ax = jnp.abs(x.astype(jnp.float32))
+        module.sow("calib", "amax", jnp.max(ax),
                    init_fn=lambda: jnp.zeros((), jnp.float32),
+                   reduce_fn=jnp.maximum)
+        module.sow("calib", "amax_c",
+                   jnp.max(ax, axis=tuple(range(x.ndim - 1))),
+                   init_fn=lambda: jnp.zeros((x.shape[-1],), jnp.float32),
                    reduce_fn=jnp.maximum)
 
 
@@ -312,7 +380,14 @@ def save_act_scales(act_amax: dict, path: str) -> None:
             if isinstance(v, dict) or hasattr(v, "items"):
                 walk(v, prefix + (k,))
             else:
-                flat["/".join(prefix + (k,))] = float(v)
+                import numpy as np
+
+                arr = np.asarray(v, np.float32)
+                # scalars stay floats (v1 files); per-channel "amax_c"
+                # vectors (round 4) serialize as lists — load_act_scales
+                # round-trips both
+                flat["/".join(prefix + (k,))] = (arr.tolist() if arr.ndim
+                                                 else float(arr))
 
     walk(act_amax, ())
     with open(path, "w") as f:

@@ -122,6 +122,13 @@ def parse_args():
                              "prompt (E4T_INT8_CALIB_STEPS, default 8) "
                              "and skip the per-call activation abs-max "
                              "reductions for all prompts")
+    parser.add_argument("--int8_pc_act", action="store_true",
+                        help="with --int8_static_act: PER-CHANNEL "
+                             "calibrated activation scales, folded into "
+                             "the int8 kernels' contraction axis "
+                             "(quant.quantize_params act_pc) — all-"
+                             "static serving cost with near-dynamic "
+                             "quality, no regime exclusions needed")
     parser.add_argument("--act_scales", type=str, default=None,
                         help="with --int8_static_act: JSON file of "
                              "calibrated activation ranges. Loaded if it "
@@ -209,8 +216,9 @@ def build_pipeline(args) -> StableDiffusionE4TPipeline:
         modules, params, tokenizer, e4t_config, scheduler=scheduler,
         already_added_placeholder_token=True, tp_mesh=tp_mesh,
         # --int8_static_act implies --int8 (advisor r2: passing it alone
-        # used to silently serve bf16)
-        int8=("static" if args.int8_static_act else args.int8),
+        # used to silently serve bf16); --int8_pc_act implies both
+        int8=("static_pc" if getattr(args, "int8_pc_act", False)
+              else "static" if args.int8_static_act else args.int8),
         int8_aux=("static" if getattr(args, "int8_aux_static", False)
                   else getattr(args, "int8_aux", False)),
         int8_attn=getattr(args, "int8_attn", None) or False,

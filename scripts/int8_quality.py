@@ -20,6 +20,11 @@ Run (real TPU): python scripts/int8_quality.py
 Env: E4T_QUAL_STEPS (50), E4T_QUAL_RES (512), E4T_QUAL_BATCH (1),
 E4T_QUAL_MODE — comma list of configs (default static):
   static | dynamic           int8 conv/GEMM path (ops/quant.py)
+  static_pc                  static PER-CHANNEL activation scales
+                             (quant.quantize_params act_pc: calibrated
+                             per-input-channel ranges folded into the
+                             kernel; all-static serving cost, no
+                             exclusions needed)
   attn_qk | attn_qkpv        int8 flash-attention inner math alone
                              (ops/attention.int8_flash_attention)
   static_attn                static-act int8 + int8 attention "qk"
@@ -137,7 +142,7 @@ def main():
         try:
             fn = make_trajectory_fn(modules, sched, steps, gs, des,
                                     int8=int8, int8_attn=int8_attn)
-            extra = (act_amax,) if int8 == "static" else ()
+            extra = (act_amax,) if int8 in ("static", "static_pc") else ()
             traj = fn(params["unet"], params["offsets"], *common,
                       seed_latents, pixels, inputs_embeds, ph_idx,
                       uncond_ids, class_embed, noise_rng, *extra)
@@ -164,6 +169,7 @@ def main():
     # (kernel-int8 arg, attention-int8 arg) per named config
     CONFIGS = {
         "static": ("static", False),
+        "static_pc": ("static_pc", False),
         "dynamic": (True, False),
         "attn_qk": (False, "qk"),
         "attn_qkpv": (False, "qkpv"),
@@ -235,10 +241,10 @@ def main():
             int8, int8_attn = "static", False
         else:
             int8, int8_attn = CONFIGS[m]
-        if int8 == "static":
+        if int8 in ("static", "static_pc"):
             get_amax()
         t_q = run_traj(int8, latents0,
-                       act_amax if int8 == "static" else None,
+                       act_amax if int8 in ("static", "static_pc") else None,
                        int8_attn=int8_attn, static_exclude=static_exclude)
         d = rel(t_q, t_bf16)
         # headline: final-step divergence as a fraction of the
@@ -256,7 +262,7 @@ def main():
                 "tiny" if tiny else "sd-v1",
             "scheduler": type(sched).__name__,
         }
-        if int8 == "static":
+        if int8 in ("static", "static_pc"):
             out["calib_steps"] = int(os.environ.get(
                 "E4T_QUAL_CALIB_STEPS", str(min(8, steps))))
         results.append(out)

@@ -14,6 +14,7 @@ dispatch, result discarded):
   serve_bf16     512px DDIM-50 sampler, batch 8 (the headline config)
   serve_int8     same, dynamic-int8 UNet
   serve_int8s    same, calibrated-static int8 (+ its calibration run)
+  serve_int8spc  same, per-channel static act scales (--int8_pc_act)
   serve_int8s_aux same, plus int8 ViT tower + VAE decode (--int8_aux)
   serve_dpmpp20  512px DPM++ 2M 20-step fast-sampler, int8-static
                  (the E4T_BENCH_SCHEDULER=dpmpp serving row)
@@ -40,6 +41,7 @@ def _want(name: str) -> bool:
 def _serve(kind: str) -> None:
     os.environ["E4T_BENCH_INT8"] = {
         "serve_bf16": "0", "serve_int8": "1", "serve_int8s": "static",
+        "serve_int8spc": "static_pc",
         "serve_int8s_aux": "static", "serve_dpmpp20": "static"}[kind]
     os.environ["E4T_BENCH_INT8_AUX"] = (
         "1" if kind == "serve_int8s_aux" else "0")
@@ -80,6 +82,7 @@ def main():
     jobs = [("serve_bf16", lambda: _serve("serve_bf16")),
             ("serve_int8", lambda: _serve("serve_int8")),
             ("serve_int8s", lambda: _serve("serve_int8s")),
+            ("serve_int8spc", lambda: _serve("serve_int8spc")),
             ("serve_int8s_aux", lambda: _serve("serve_int8s_aux")),
             # last of the serve warms: it retargets E4T_BENCH_STEPS
             ("serve_dpmpp20", lambda: _serve("serve_dpmpp20")),

@@ -67,6 +67,7 @@ def parse_args():
     parser.add_argument("--vit_gelu_tanh", action="store_true")
     parser.add_argument("--int8_attn", choices=["qk", "qkpv"], default=None)
     parser.add_argument("--int8_static_act", action="store_true")
+    parser.add_argument("--int8_pc_act", action="store_true")
     parser.add_argument("--act_scales", type=str, default=None,
                         help="JSON file of calibrated activation ranges "
                              "(loaded if present, written after the "

@@ -330,8 +330,10 @@ def test_int8_static_act_no_cfg(tiny_unet_world):
     cfn = make_calibration_fn(modules, DDIMScheduler(), 4, 1.0, 0.1)
     amax = cfn(params["unet"], params["offsets"], params["text"],
                params["e4t"], *common)
+    # leaves mix scalar "amax" and per-channel "amax_c" (round 4) —
+    # per-site max>0 means the cond pass covered the site
     amax_vals = np.asarray(
-        [np.asarray(v) for v in jax.tree_util.tree_leaves(amax)])
+        [np.max(np.asarray(v)) for v in jax.tree_util.tree_leaves(amax)])
     assert (amax_vals > 0).all()  # cond pass covers every site
 
     args = (params["unet"], params["offsets"], params["vae"],
@@ -366,9 +368,10 @@ def test_int8_static_act_sampling_close_to_bf16(tiny_unet_world):
     cfn = make_calibration_fn(modules, DDIMScheduler(), 4, 7.5, 0.1)
     amax = cfn(params["unet"], params["offsets"], params["text"],
                params["e4t"], *common)
-    # every site saw data: a zero amax means a dead calib path
+    # every site saw data: a zero amax means a dead calib path (leaves
+    # mix scalar "amax" and per-channel "amax_c" vectors — round 4)
     amax_vals = np.asarray(
-        [np.asarray(v) for v in jax.tree_util.tree_leaves(amax)])
+        [np.max(np.asarray(v)) for v in jax.tree_util.tree_leaves(amax)])
     assert (amax_vals > 0).all()
 
     args = (params["unet"], params["offsets"], params["vae"],
@@ -449,7 +452,8 @@ def test_int8_aux_static_sampling_close_to_dynamic(tiny_unet_world):
     # the tree covers both towers with positive per-site ranges
     assert "clip_vision" in aux_amax["e4t"]
     leaves = jax.tree_util.tree_leaves(aux_amax["vae"])
-    assert leaves and all(float(x) > 0.0 for x in leaves)
+    assert leaves and all(float(np.max(np.asarray(x))) > 0.0
+                          for x in leaves)
 
     dyn = np.asarray(make_sample_fn(
         modules, DDIMScheduler(), 4, 7.5, 0.1, int8_aux=True)(
@@ -523,3 +527,115 @@ def test_static_exclude_regime(monkeypatch):
     assert _static_exclude_for(lat(4, 768)) == ()
     monkeypatch.setenv("E4T_INT8_STATIC_EXCLUDE", "conv_shortcut")
     assert _static_exclude_for(lat(8, 512)) is None
+
+
+def test_static_pc_fold_exact_and_beats_per_tensor_on_outliers():
+    """Per-channel static activation scales (act_pc): the calibrated
+    per-channel range is folded into the kernel's contraction axis
+    (x @ W = (x/s_c) @ (W*s_c)), so serving costs the same as per-tensor
+    static (broadcast divide, no reduction) while channel outliers keep
+    their own resolution. On an input with one 50x-outlier channel the
+    per-tensor static scale burns ~all int8 resolution on that channel;
+    the balanced fold (E4T_INT8_PC_ALPHA default 0.5) must cut the
+    error by >3x (measured 5.1x; the full alpha=1 fold only reaches
+    2.2x — the folded outlier inflates the weight range instead)."""
+    rng = np.random.default_rng(42)
+    x_np = rng.normal(size=(16, 64)).astype(np.float32)
+    x_np[:, 7] *= 50.0  # the outlier channel
+    x = jnp.asarray(x_np)
+    layer = quant.Dense(features=48)
+    params = layer.init(jax.random.PRNGKey(0), x)["params"]
+    ref = layer.apply({"params": params}, x)
+
+    calib = {"amax": jnp.max(jnp.abs(x)),
+             "amax_c": jnp.max(jnp.abs(x), axis=0)}
+    q_pt = quant.quantize_params(dict(params), act_amax=calib,
+                                 act_pc=False)
+    q_pc = quant.quantize_params(dict(params), act_amax=calib,
+                                 act_pc=True)
+    assert "sa" in q_pt["kernel"] and "sac" not in q_pt["kernel"]
+    assert "sac" in q_pc["kernel"] and "sa" not in q_pc["kernel"]
+    assert quant.is_quantized(q_pc["kernel"])
+    assert q_pc["kernel"]["sac"].shape == (64,)
+
+    err_pt = _rel_err(layer.apply({"params": q_pt}, x), ref)
+    err_pc = _rel_err(layer.apply({"params": q_pc}, x), ref)
+    assert err_pc < 2e-2, err_pc
+    assert err_pc * 3 < err_pt, (err_pc, err_pt)
+
+
+def test_static_pc_conv_close_to_f32():
+    """act_pc on a conv: the fold runs along HWIO axis 2 (input
+    channels) and the activation divide broadcasts over NHWC's last
+    axis; with exact calibration the error matches the per-tensor
+    dynamic bound."""
+    rng = np.random.default_rng(43)
+    x_np = rng.normal(size=(2, 8, 8, 16)).astype(np.float32)
+    x_np[..., 3] *= 20.0
+    x = jnp.asarray(x_np)
+    layer = quant.Conv(features=24, kernel_size=(3, 3), padding=1)
+    params = layer.init(jax.random.PRNGKey(0), x)["params"]
+    ref = layer.apply({"params": params}, x)
+    calib = {"amax": jnp.max(jnp.abs(x)),
+             "amax_c": jnp.max(jnp.abs(x),
+                               axis=(0, 1, 2))}
+    q = quant.quantize_params(dict(params), act_amax=calib, act_pc=True)
+    assert "sac" in q["kernel"] and q["kernel"]["sac"].shape == (16,)
+    err = _rel_err(layer.apply({"params": q}, x), ref)
+    assert err < 2e-2, err
+
+
+def test_static_pc_falls_back_without_amax_c():
+    """A pre-round-4 --act_scales file has only the scalar "amax":
+    act_pc=True must gracefully serve the per-tensor static path (sa)
+    instead of crashing."""
+    rng = np.random.default_rng(44)
+    x = jnp.asarray(rng.normal(size=(4, 32)).astype(np.float32))
+    layer = quant.Dense(features=16)
+    params = layer.init(jax.random.PRNGKey(0), x)["params"]
+    q = quant.quantize_params(dict(params),
+                              act_amax={"amax": jnp.max(jnp.abs(x))},
+                              act_pc=True)
+    assert "sa" in q["kernel"] and "sac" not in q["kernel"]
+    out = layer.apply({"params": q}, x)
+    assert _rel_err(out, layer.apply({"params": params}, x)) < 2e-2
+
+
+def test_int8_static_pc_sampling_close_to_bf16(tiny_unet_world):
+    """End-to-end int8="static_pc": calibrate on a SHORT (4-step)
+    trajectory (the calib collection sows both "amax" and the
+    per-channel "amax_c"), serve 8 steps with per-channel static scales
+    — all sites static, no regime exclusions — and require the same
+    closeness to bf16 as the other int8 modes."""
+    from e4t_diffusion_tpu.diffusion.pipeline import (make_calibration_fn,
+                                                      make_sample_fn)
+    from e4t_diffusion_tpu.diffusion.schedulers import DDIMScheduler
+    from e4t_diffusion_tpu.models.clip_text import embed_tokens
+
+    modules, params = tiny_unet_world
+    tcfg = modules.text_encoder.config
+    L = tcfg.max_position_embeddings
+    ids = jnp.zeros((1, L), jnp.int32).at[0, 3].set(7)
+    embeds = embed_tokens(params["text"], ids)
+    common = (jax.random.normal(jax.random.PRNGKey(0), (1, 4, 8, 8)),
+              jnp.zeros((1, 3, 32, 32)), embeds, jnp.asarray([3], jnp.int32),
+              jnp.zeros((1, L), jnp.int32),
+              embed_tokens(params["text"], jnp.asarray([[5]]))[0, 0],
+              jax.random.PRNGKey(1))
+    cfn = make_calibration_fn(modules, DDIMScheduler(), 4, 7.5, 0.1)
+    amax = cfn(params["unet"], params["offsets"], params["text"],
+               params["e4t"], *common)
+    # the collection carries per-channel vectors alongside the scalars
+    has_vec = any(np.asarray(v).ndim == 1
+                  for v in jax.tree_util.tree_leaves(amax))
+    assert has_vec
+
+    args = (params["unet"], params["offsets"], params["vae"],
+            params["text"], params["e4t"], *common)
+    ref = np.asarray(make_sample_fn(modules, DDIMScheduler(), 8, 7.5,
+                                    0.1)(*args))
+    q = np.asarray(make_sample_fn(modules, DDIMScheduler(), 8, 7.5, 0.1,
+                                  int8="static_pc")(*args, amax))
+    corr = np.corrcoef(ref.ravel(), q.ravel())[0, 1]
+    assert corr > 0.97, corr
+    assert np.abs(ref - q).mean() < 0.05
