@@ -76,6 +76,7 @@ from e4t_diffusion_tpu.ops.flash_kernels import (  # noqa: F401
     _flash_attention_lowdim_padded,
     _flash_attention_padded,
     _flash_fwd_lowdim_int8,
+    _flash_fwd_shortseq_mh,
     _round_up,
     _use_interpret,
 )
@@ -318,6 +319,76 @@ def flash_threshold(score_bytes: Optional[int]):
         _THRESHOLD_OVERRIDE.pop()
 
 
+# Packed-heads short-sequence route (the ViT-H 257-token / d=80 sites).
+# einsum there is HBM-bound on its materialized f32 scores and the
+# per-head flash kernel is invocation-bound (flash_kernels.py shortseq
+# comment). E4T_SHORTSEQ_MH_ATTN: 0 disables, an integer sets the
+# heads-per-cell pack size. Trace-time, like the other E4T_* knobs, so
+# flipping it only retraces programs that contain a qualifying site
+# (every hoisted-ViT serving program — hence measured before defaulting).
+_SHORTSEQ_MH_G = int(_os.environ.get("E4T_SHORTSEQ_MH_ATTN", "0"))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def shortseq_mh_attention(q, k, v, scale):
+    """Forward via the packed-heads kernel; backward recomputes through
+    einsum_attention's VJP (exact softmax-attention gradients — fine at
+    short-seq sizes, where the f32 score tensor is small and transient
+    under remat)."""
+    return _shortseq_mh_impl(q, k, v, scale)
+
+
+def _shortseq_mh_impl(q, k, v, scale):
+    b, h, s, d = q.shape
+    bh = b * h
+    d_sub = _round_up(d, 8)
+    s_pad = _round_up(s, _LANES)
+    qf = q.reshape(bh, s, d)
+    kf = k.reshape(bh, s, d)
+    vf = v.reshape(bh, s, d)
+    if d_sub != d:
+        qf = jnp.pad(qf, ((0, 0), (0, 0), (0, d_sub - d)))
+        kf = jnp.pad(kf, ((0, 0), (0, 0), (0, d_sub - d)))
+        vf = jnp.pad(vf, ((0, 0), (0, 0), (0, d_sub - d)))
+    if s_pad != s:
+        qf = jnp.pad(qf, ((0, 0), (0, s_pad - s), (0, 0)))
+        kf = jnp.pad(kf, ((0, 0), (0, s_pad - s), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, s_pad - s), (0, 0)))
+    g = max(gg for gg in (_SHORTSEQ_MH_G, 8, 4, 2, 1)
+            if gg <= _SHORTSEQ_MH_G and bh % gg == 0)
+    ot = _flash_fwd_shortseq_mh(jnp.swapaxes(qf, 1, 2), kf,
+                                jnp.swapaxes(vf, 1, 2), scale, s, g)
+    return jnp.swapaxes(ot, 1, 2)[:, :s, :d].reshape(b, h, s, d)
+
+
+def _shortseq_mh_fwd(q, k, v, scale):
+    return _shortseq_mh_impl(q, k, v, scale), (q, k, v)
+
+
+def _shortseq_mh_bwd(scale, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: einsum_attention(q_, k_, v_, scale=scale),
+        q, k, v)
+    return vjp(g)
+
+
+shortseq_mh_attention.defvjp(_shortseq_mh_fwd, _shortseq_mh_bwd)
+
+
+def _use_shortseq_mh(q, k, bias, causal) -> bool:
+    return (
+        _SHORTSEQ_MH_G > 0
+        and jax.default_backend() == "tpu"
+        and bias is None
+        and not causal
+        and q.shape[2] == k.shape[2]       # self-attention
+        and 128 < q.shape[2] <= 512        # short seq, above one lane tile
+        and _round_up(q.shape[3], 8) < _LANES  # low head dim
+        and (q.shape[0] * q.shape[1]) % 2 == 0
+    )
+
+
 def dot_product_attention(
     q: jax.Array,
     k: jax.Array,
@@ -328,10 +399,15 @@ def dot_product_attention(
     use_flash: Optional[bool] = None,
 ) -> jax.Array:
     """Dispatcher: einsum attention for small/medium score matrices,
-    Pallas flash attention for large ones (memory-bound regime).
+    Pallas flash attention for large ones (memory-bound regime), and the
+    packed-heads kernel for short low-head-dim self-attention (ViT).
 
     q/k/v: (batch, heads, seq, head_dim).
     """
+    if use_flash is None and _use_shortseq_mh(q, k, bias, causal):
+        return shortseq_mh_attention(
+            q, k, v, scale if scale is not None
+            else 1.0 / math.sqrt(q.shape[-1]))
     if use_flash is None:
         score_bytes = q.shape[0] * q.shape[1] * q.shape[2] * k.shape[2] * 4
         threshold = (_THRESHOLD_OVERRIDE[-1] if _THRESHOLD_OVERRIDE

@@ -851,3 +851,73 @@ def _flash_fwd_lowdim_int8(qt, k, vt, sc, out_dtype, block_q, block_k,
             dimension_semantics=("parallel", "arbitrary")),
         interpret=_use_interpret(),
     )(qt, k, vt, sc)
+
+
+# ---------------------------------------------------------------------------
+# Packed-heads short-sequence attention (round 5, appended)
+# ---------------------------------------------------------------------------
+# The ViT-H 257-token / d=80 self-attention (bh = 16*batch) is too small
+# for either existing path: einsum materializes the (bh, 257, 257) f32
+# scores in HBM (~34 MB/layer at batch 8 — HBM-bound, measured 4.8 ms of
+# the 25.6 ms tower, scripts/bench_vit.py), while the lowdim flash kernel
+# runs bh grid cells whose per-cell MXU work (~0.1 us) is dwarfed by the
+# per-cell DMA/setup overhead (measured 32.2 ms tower). This kernel packs
+# ``g`` heads into ONE grid cell (statically unrolled), keeps the whole
+# kv resident, and — because the full score row is in registers — uses a
+# single-pass softmax (no online max/rescale carries). Scores never touch
+# HBM; per-layer traffic drops to the q/k/v/out tensors themselves.
+# Transposed layout like the lowdim kernel: d on sublanes (80 = 10x8
+# clean), tokens on lanes (257 -> 384, the unavoidable 128-lane pad).
+# Forward-only: the wrapper in ops/attention.py recomputes via
+# einsum_attention for the backward (training quality path unchanged).
+
+def _shortseq_mh_kernel(qt_ref, k_ref, vt_ref, ot_ref,
+                        *, scale: float, kv_len: int, g: int):
+    s_pad = k_ref.shape[1]
+    for h in range(g):  # static unroll: no dynamic leading-dim indexing
+        qt = qt_ref[h]                  # (d, s_pad)
+        k = k_ref[h]                    # (s_pad, d)
+        st = jax.lax.dot_general(
+            k, qt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (s_pad, s_pad)
+        if kv_len != s_pad:
+            row = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
+            st = jnp.where(row < kv_len, st, _NEG_INF)
+        m = jnp.max(st, axis=0, keepdims=True)           # (1, s_pad)
+        p = jnp.exp(st - m)
+        l = jnp.sum(p, axis=0, keepdims=True)
+        vt = vt_ref[h]                  # (d, s_pad)
+        acc = jax.lax.dot_general(
+            vt, p.astype(vt.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (d, s_pad)
+        ot_ref[h] = (acc * (1.0 / l)).astype(ot_ref.dtype)
+
+
+def _flash_fwd_shortseq_mh(qt, k, vt, scale, kv_len, g):
+    """qt/vt: (BH, D, S_pad), k: (BH, S_pad, D); D multiple of 8 (< 128),
+    S_pad a multiple of 128, g divides BH. Returns out_T (BH, D, S_pad)."""
+    bh, d, s_pad = qt.shape
+    return pl.pallas_call(
+        functools.partial(_shortseq_mh_kernel, scale=scale, kv_len=kv_len,
+                          g=g),
+        grid=(bh // g,),
+        in_specs=[
+            pl.BlockSpec((g, d, s_pad), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, s_pad, d), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, d, s_pad), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((g, d, s_pad), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, d, s_pad), qt.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * s_pad * kv_len * d,
+            bytes_accessed=(qt.size + k.size + vt.size) * qt.dtype.itemsize,
+            transcendentals=bh * s_pad * kv_len,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=_use_interpret(),
+    )(qt, k, vt)

@@ -69,6 +69,9 @@ def main():
         "no_attn": (dataclasses.replace(base_cfg, ablate_attn=True), None),
         "no_ln": (dataclasses.replace(base_cfg, ablate_ln=True), None),
         "flash": (base_cfg, 0),  # force flash dispatch for all sites
+        # packed-heads short-seq kernel (round 5; E4T_SHORTSEQ_MH_ATTN);
+        # name suffix _g<N> selects heads-per-cell, e.g. mh_attn_g8
+        "mh_attn": (base_cfg, None),
     }
 
     rng = jax.random.PRNGKey(0)
@@ -77,6 +80,22 @@ def main():
                                (iters, batch, 3, size, size), dtype)
     # params are re-initialized per config: the ln ablation removes the
     # LayerNorm param sites entirely, so one shared tree wouldn't apply
+    # mh_attn_g<N> variants: same config, different heads-per-cell pack
+    for n in (sel.split(",") if sel else ()):
+        if n.startswith("mh_attn_g") and n not in CONFIGS:
+            CONFIGS[n] = (base_cfg, None)
+
+    import e4t_diffusion_tpu.ops.attention as att
+
+    @contextlib.contextmanager
+    def mh_g(g):
+        prev = att._SHORTSEQ_MH_G
+        att._SHORTSEQ_MH_G = g
+        try:
+            yield
+        finally:
+            att._SHORTSEQ_MH_G = prev
+
     results = {}
     analytic = fl.vit_forward(base_cfg, batch)
     for name, (cfg, thresh) in CONFIGS.items():
@@ -87,8 +106,13 @@ def main():
             lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x,
             zeros_params(lambda k: model.init(
                 k, jnp.zeros((1, 3, size, size)))["params"], rng))
-        ctx = (flash_threshold(thresh) if thresh is not None
-               else contextlib.nullcontext())
+        if name.startswith("mh_attn"):
+            ctx = mh_g(int(name[len("mh_attn_g"):])
+                       if name.startswith("mh_attn_g") else 16)
+        elif thresh is not None:
+            ctx = flash_threshold(thresh)
+        else:
+            ctx = contextlib.nullcontext()
         with ctx:
             ms = scan_time(
                 lambda x: model.apply({"params": params}, x), pixels)

@@ -42,7 +42,12 @@ E4T_QUAL_MODE — comma list of configs (default static):
                              candidates that drive the static penalty)
   both = static,dynamic (back-compat)
 E4T_QUAL_SCHEDULER (ddim | dpmpp — bound the DPM++ fast-sampler config),
-E4T_QUAL_TINY (1 = tiny config on CPU, used by the test suite).
+E4T_QUAL_TINY (1 = tiny config on CPU, used by the test suite),
+E4T_QUAL_IMAGE (1 default — ALSO decode each config's final latents
+through the bf16 VAE and report image-space rel-L2 + PSNR beside the
+latent bounds: the metric scripts/validate_real_weights.py uses, so the
+machinery is pre-validated before real weights exist; 0 skips the
+decode).
 Output: one JSON line per config with per-step relative divergence.
 """
 import json
@@ -86,7 +91,7 @@ def main():
     L = tcfg.max_position_embeddings
     lat = res // (2 ** (len(modules.vae.config.block_out_channels) - 1))
     rng = jax.random.PRNGKey(0)
-    ks = jax.random.split(rng, 8)
+    ks = jax.random.split(rng, 9)
 
     def shapes_of(fn, *args):
         return jax.eval_shape(fn, *args)
@@ -165,6 +170,51 @@ def main():
         return num / np.maximum(den, 1e-12)
 
     anchor = rel(t_anchor, t_bf16)
+
+    # Image-space bounds (VERDICT r4 #6): decode the final latents of
+    # every config through ONE shared bf16 VAE, so the reported image
+    # rel-L2/PSNR isolates the UNet-path quantization error in the
+    # metric validate_real_weights.py scores real checkpoints with.
+    decode = None
+    if os.environ.get("E4T_QUAL_IMAGE", "1") == "1":
+        from e4t_diffusion_tpu.models.vae import AutoencoderKL
+
+        vae_params = structured_params(shapes_of(
+            lambda k: modules.vae.init(
+                k, jnp.zeros((1, 3, res, res)), k)["params"], ks[8]), ks[8])
+        scaling = modules.vae.config.scaling_factor
+
+        @jax.jit
+        def decode_fn(final_latents):
+            img = modules.vae.apply(
+                {"params": vae_params},
+                jnp.asarray(final_latents, dtype) / scaling,
+                method=AutoencoderKL.decode)
+            return jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
+
+        def decode(final_latents):
+            return np.asarray(jax.device_get(decode_fn(final_latents)),
+                              np.float32)
+
+    def image_metrics(img_q, img_ref, img_anchor):
+        """Whole-batch image rel-L2 + PSNR (pixels in [0,1])."""
+        num = float(np.linalg.norm(img_q - img_ref))
+        den = float(max(np.linalg.norm(img_ref), 1e-12))
+        mse = float(np.mean((img_q - img_ref) ** 2))
+        anchor_rel = (float(np.linalg.norm(img_anchor - img_ref)) / den)
+        return {
+            "image_rel_l2": round(num / den, 5),
+            "image_psnr_db": round(10.0 * np.log10(1.0 / max(mse, 1e-12)),
+                                   2),
+            "image_anchor_rel_l2": round(anchor_rel, 5),
+            "image_fraction_of_unrelated": round(
+                (num / den) / max(anchor_rel, 1e-12), 5),
+        }
+
+    img_bf16 = img_anchor = None
+    if decode is not None:
+        img_bf16 = decode(t_bf16[-1])
+        img_anchor = decode(t_anchor[-1])
 
     # (kernel-int8 arg, attention-int8 arg) per named config
     CONFIGS = {
@@ -265,6 +315,8 @@ def main():
         if int8 in ("static", "static_pc"):
             out["calib_steps"] = int(os.environ.get(
                 "E4T_QUAL_CALIB_STEPS", str(min(8, steps))))
+        if decode is not None:
+            out.update(image_metrics(decode(t_q[-1]), img_bf16, img_anchor))
         results.append(out)
         print(json.dumps(out))
     return results

@@ -13,9 +13,14 @@
 #         echo $! > /tmp/recovery.pid        # kill $(cat /tmp/recovery.pid)
 # Lives in the repo because /tmp is wiped between rounds.
 set -u
+set -o pipefail
 cd "$(dirname "$0")/.."
 POLL_S="${E4T_WATCH_POLL_S:-1200}"
 TRY_TIMEOUT="${E4T_WATCH_TRY_TIMEOUT:-2400}"
+# Matrix configs may pay a cold 15-25 min compile each when the
+# persistent cache was invalidated (source changes / wiped cache dir),
+# so they get a larger budget than the canary poll.
+MATRIX_TIMEOUT="${E4T_WATCH_MATRIX_TIMEOUT:-5400}"
 
 try_canary() {
     E4T_TUNE_BATCH=4 timeout "$TRY_TIMEOUT" python scripts/bench_tuning.py 2>&1
@@ -35,8 +40,8 @@ while true; do
             "bench_pretrain.py E4T_PRE_BATCH=2"; do
             set -- $cfg; script=$1; shift
             echo "=== $(date -u +%FT%TZ) $script $* ==="
-            env "$@" timeout "$TRY_TIMEOUT" python "scripts/$script" 2>&1 | tail -20
-            echo "=== rc=$? ==="
+            env "$@" timeout "$MATRIX_TIMEOUT" python "scripts/$script" 2>&1 | tail -20
+            echo "=== rc=${PIPESTATUS[0]} ==="
         done
         echo "### MATRIX DONE $(date -u +%FT%TZ) — fold into CLAUDE.md Measured ###"
         exit 0

@@ -281,3 +281,69 @@ def test_lowdim_route_covers_highres_sequences(monkeypatch):
     q = jnp.zeros((1, 1, 16384, 120))
     A.flash_attention(q, q, q, block_q=2048, block_k=512)
     assert calls == ["standard"]
+
+
+# ---- packed-heads short-sequence kernel (round 5) ------------------------
+
+def _shortseq_case(bh=8, s=257, d=80):
+    q = jnp.asarray(_rand((2, bh // 2, s, d), 30))
+    k = jnp.asarray(_rand((2, bh // 2, s, d), 31))
+    v = jnp.asarray(_rand((2, bh // 2, s, d), 32))
+    return q, k, v
+
+
+@pytest.mark.parametrize("s,d,g", [(257, 80, 4), (257, 80, 16),
+                                   (129, 40, 2), (384, 72, 8)])
+def test_shortseq_mh_matches_einsum(monkeypatch, s, d, g):
+    import e4t_diffusion_tpu.ops.attention as att
+
+    monkeypatch.setattr(att, "_SHORTSEQ_MH_G", g)
+    q, k, v = _shortseq_case(8, s, d)
+    ref = einsum_attention(q, k, v)
+    out = att.shortseq_mh_attention(q, k, v, 1.0 / np.sqrt(d))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_shortseq_mh_gradients_match_einsum(monkeypatch):
+    import e4t_diffusion_tpu.ops.attention as att
+
+    monkeypatch.setattr(att, "_SHORTSEQ_MH_G", 4)
+    q, k, v = _shortseq_case(4, 130, 40)
+    scale = 1.0 / np.sqrt(40)
+
+    def loss_mh(q, k, v):
+        return jnp.sum(jnp.sin(att.shortseq_mh_attention(q, k, v, scale)))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(einsum_attention(q, k, v, scale=scale)))
+
+    g_mh = jax.grad(loss_mh, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_mh, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5, rtol=3e-5)
+
+
+def test_shortseq_mh_route_gating(monkeypatch):
+    """The route only fires for short low-head-dim self-attention on TPU,
+    and stays OFF by default elsewhere (cached serving programs must not
+    retrace when the knob is absent)."""
+    import e4t_diffusion_tpu.ops.attention as att
+
+    q, k, _ = _shortseq_case(8, 257, 80)
+    # default (0): disabled everywhere
+    monkeypatch.setattr(att, "_SHORTSEQ_MH_G", 0)
+    assert not att._use_shortseq_mh(q, k, None, False)
+    monkeypatch.setattr(att, "_SHORTSEQ_MH_G", 16)
+    # on a TPU backend this shape qualifies; the gate is backend-aware
+    expected = jax.default_backend() == "tpu"
+    assert att._use_shortseq_mh(q, k, None, False) is expected
+    # cross-attention (sq != sk), causal, long-seq, high-d all excluded
+    kv77 = jnp.zeros((2, 4, 77, 80))
+    assert not att._use_shortseq_mh(q, kv77, None, False)
+    assert not att._use_shortseq_mh(q, k, None, True)
+    long = jnp.zeros((2, 4, 4096, 80))
+    assert not att._use_shortseq_mh(long, long, None, False)
+    wide = jnp.zeros((2, 4, 257, 128))
+    assert not att._use_shortseq_mh(wide, wide, None, False)
