@@ -279,6 +279,42 @@ def _static_exclude_for(latents, act_pc: bool = False) -> Optional[tuple]:
     return UNET_STATIC_EXCLUDE if (batch >= 4 and res == 512) else ()
 
 
+def _serving_int8_mode(int8, batch: int, height: int, width: int):
+    """Regime-aware serving default for the static-int8 FLAVOR: upgrade
+    ``int8="static"`` to ``"static_pc"`` (per-channel calibrated
+    activation scales, quant.quantize_params act_pc) exactly in the
+    regimes whose ``_static_exclude_for`` default is all-static —
+    batch < 4 or non-512px — where the quality exclusions are too
+    latency-expensive to serve.
+
+    Measured (v5e, 2026-08-20, bench.py + scripts/int8_quality.py):
+    static_pc costs the SAME as plain all-static there (batch-1 512px
+    0.943 vs 0.944 img/s/chip; 1024px batch-2 0.1792 vs 0.1804 — the
+    fold is a broadcast divide, zero extra reductions) with strictly
+    better quality bounds (DDIM-50 final-latent rel-L2 0.0970 vs
+    0.1057; DPM++ 20-step 0.1827 vs 0.2380), so it dominates
+    all-static wherever it applies. The throughput regime (batch >= 4
+    at 512px) keeps per-tensor static + dynamic-scale exclusions:
+    near-dynamic quality (0.0570) at no cost, while static_pc measured
+    3% slower there (1.6187 vs 1.6675 img/s batch-8 — its once-per-run
+    fold multiplies the full param set).
+
+    Explicit pins win: E4T_INT8_ACT_PC selects the flavor directly,
+    and a set E4T_INT8_STATIC_EXCLUDE (attribution sweeps) disables
+    the upgrade so swept exclusions act on the per-tensor path.
+    """
+    if int8 != "static":
+        return int8
+    if "E4T_INT8_ACT_PC" in _os.environ:
+        truthy = _os.environ["E4T_INT8_ACT_PC"].lower() not in (
+            "0", "false", "")
+        return "static_pc" if truthy else "static"
+    if "E4T_INT8_STATIC_EXCLUDE" in _os.environ:
+        return int8
+    throughput = batch >= 4 and height == 512 and width == 512
+    return "static" if throughput else "static_pc"
+
+
 def make_sample_fn(modules: E4TModules, scheduler, num_inference_steps: int,
                    guidance_scale: float, domain_embed_scale: float,
                    return_latents: bool = False, eta: float = 0.0,
@@ -734,6 +770,10 @@ class StableDiffusionE4TPipeline:
                 latents = jax.random.normal(rng, shape1, jnp.float32)
         latents = jnp.asarray(latents)
 
+        # regime-aware static-int8 flavor (the upgrade is trace-time
+        # only — the calibration tree carries both per-tensor and
+        # per-channel ranges, so one pipeline serves every regime)
+        int8_mode = _serving_int8_mode(self.int8, b, height, width)
         key = (scheduler.__class__.__name__, num_inference_steps,
                float(guidance_scale), float(des), b, float(eta),
                height, width, output_type == "latent", self.lora_scale)
@@ -741,7 +781,7 @@ class StableDiffusionE4TPipeline:
             self._fn_cache[key] = make_sample_fn(
                 modules, scheduler, num_inference_steps, guidance_scale, des,
                 return_latents=(output_type == "latent"), eta=eta,
-                tp_mesh=self.tp_mesh, int8=self.int8,
+                tp_mesh=self.tp_mesh, int8=int8_mode,
                 int8_aux=self.int8_aux, int8_attn=self.int8_attn,
                 lora_scale=self.lora_scale)
         fn = self._fn_cache[key]

@@ -121,7 +121,11 @@ def parse_args():
                              "scales on a short trajectory at the first "
                              "prompt (E4T_INT8_CALIB_STEPS, default 8) "
                              "and skip the per-call activation abs-max "
-                             "reductions for all prompts")
+                             "reductions for all prompts. In latency "
+                             "(batch<4) / hi-res (non-512px) regimes "
+                             "this auto-upgrades to per-channel scales "
+                             "(--int8_pc_act semantics — same cost, "
+                             "better bound; pin with E4T_INT8_ACT_PC)")
     parser.add_argument("--int8_pc_act", action="store_true",
                         help="with --int8_static_act: PER-CHANNEL "
                              "calibrated activation scales, folded into "

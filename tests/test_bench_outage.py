@@ -65,17 +65,36 @@ def test_main_emits_error_json_on_dead_backend(capsys, monkeypatch):
     assert parsed["unit"] == "images/sec/chip"
 
 
-def test_default_config_is_dual_bf16_then_int8static(monkeypatch):
-    """Default bench emits bf16 first and int8-static LAST (the
+def test_default_config_is_bf16_int8static_then_dpmpp(monkeypatch):
+    """Default bench emits bf16 DDIM-50 first, int8-static DDIM-50, then
+    the DPM++ 20-step int8-static fast-sampler row LAST (the
     validated-best headline a tail-parsing driver records)."""
     ran = []
     monkeypatch.delenv("E4T_BENCH_INT8", raising=False)
+    monkeypatch.delenv("E4T_BENCH_SCHEDULER", raising=False)
+    monkeypatch.delenv("E4T_BENCH_STEPS", raising=False)
     monkeypatch.setenv("E4T_PLATFORM", "cpu")  # skip the backend probe
     monkeypatch.setattr(bench, "run_bench",
-                        lambda b, fallback=False, int8=None:
-                        ran.append(int8))
+                        lambda b, fallback=False, int8=None, scheduler=None,
+                        steps=None: ran.append((int8, scheduler, steps)))
     bench.main(wait=lambda window: True)
-    assert ran == [False, "static"]
+    assert ran == [(False, None, None), ("static", None, None),
+                   ("static", "dpmpp", 20)]
+
+
+def test_explicit_scheduler_suppresses_extra_dpmpp_row(monkeypatch):
+    """Setting E4T_BENCH_SCHEDULER/STEPS keeps the old per-config
+    behavior (no surprise third line in targeted sweeps)."""
+    ran = []
+    monkeypatch.delenv("E4T_BENCH_INT8", raising=False)
+    monkeypatch.setenv("E4T_BENCH_SCHEDULER", "dpmpp")
+    monkeypatch.setenv("E4T_BENCH_STEPS", "20")
+    monkeypatch.setenv("E4T_PLATFORM", "cpu")
+    monkeypatch.setattr(bench, "run_bench",
+                        lambda b, fallback=False, int8=None, scheduler=None,
+                        steps=None: ran.append((int8, scheduler)))
+    bench.main(wait=lambda window: True)
+    assert ran == [(False, "dpmpp"), ("static", "dpmpp")]
 
 
 def test_single_config_env_still_selects(monkeypatch):
@@ -83,7 +102,7 @@ def test_single_config_env_still_selects(monkeypatch):
     monkeypatch.setenv("E4T_BENCH_INT8", "static")
     monkeypatch.setenv("E4T_PLATFORM", "cpu")
     monkeypatch.setattr(bench, "run_bench",
-                        lambda b, fallback=False, int8=None:
-                        ran.append(int8))
+                        lambda b, fallback=False, int8=None, scheduler=None,
+                        steps=None: ran.append(int8))
     bench.main(wait=lambda window: True)
     assert ran == ["static"]

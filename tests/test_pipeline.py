@@ -193,3 +193,41 @@ def test_pipeline_rejects_negative_prompt(tiny_setup):
     with pytest.raises(AssertionError, match="negative_prompt"):
         pipe("a photo of *s", image, negative_prompt="ugly",
              num_inference_steps=1)
+
+
+def test_pipeline_call_applies_regime_int8_upgrade(tiny_setup,
+                                                   monkeypatch):
+    """__call__ threads the regime-resolved static-int8 flavor into
+    make_sample_fn: an int8="static" pipeline at a latency-regime shape
+    (batch 1, non-512px tiny geometry) must trace the "static_pc"
+    program (pipeline._serving_int8_mode), and the generated image must
+    still track bf16 (the per-channel path end-to-end through the
+    public API, not just make_sample_fn)."""
+    from e4t_diffusion_tpu.diffusion import pipeline as pl
+
+    pipe, image = tiny_setup
+    ref = pipe("a photo of *s", image, num_inference_steps=2, seed=11)
+
+    monkeypatch.delenv("E4T_INT8_STATIC_EXCLUDE", raising=False)
+    monkeypatch.delenv("E4T_INT8_ACT_PC", raising=False)
+    q_pipe = pl.StableDiffusionE4TPipeline(
+        pipe.modules, pipe.params, pipe.tokenizer, pipe.e4t_config,
+        already_added_placeholder_token=True, int8="static")
+    seen = []
+    real = pl.make_sample_fn
+
+    def spy(*args, **kwargs):
+        seen.append(kwargs.get("int8"))
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(pl, "make_sample_fn", spy)
+    out = q_pipe("a photo of *s", image, num_inference_steps=2, seed=11)
+    assert seen == ["static_pc"]
+    assert q_pipe._act_amax is not None  # calibration ran lazily
+    # loose sanity only — per-channel int8 accuracy bounds live in
+    # tests/test_quant.py (this tiny 2-step random-net run measures
+    # the MECHANISM, not quality; int8-vs-bf16 pixel corr on it is
+    # legitimately noisy)
+    out = np.asarray(out)
+    assert np.isfinite(out).all()
+    assert np.abs(out - np.asarray(ref)).mean() < 0.15

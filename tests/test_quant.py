@@ -529,6 +529,36 @@ def test_static_exclude_regime(monkeypatch):
     assert _static_exclude_for(lat(8, 512)) is None
 
 
+def test_serving_int8_mode_regime_upgrade(monkeypatch):
+    """_serving_int8_mode: "static" upgrades to per-channel scales
+    exactly where the exclusion default is all-static (batch < 4 or
+    non-512px — measured cost parity, strictly better bound); the
+    throughput regime and every non-"static" mode pass through; env
+    pins win (explicit E4T_INT8_ACT_PC selects the flavor, a set
+    E4T_INT8_STATIC_EXCLUDE disables the upgrade for sweeps)."""
+    from e4t_diffusion_tpu.diffusion.pipeline import _serving_int8_mode
+
+    monkeypatch.delenv("E4T_INT8_STATIC_EXCLUDE", raising=False)
+    monkeypatch.delenv("E4T_INT8_ACT_PC", raising=False)
+    assert _serving_int8_mode("static", 8, 512, 512) == "static"
+    assert _serving_int8_mode("static", 4, 512, 512) == "static"
+    assert _serving_int8_mode("static", 1, 512, 512) == "static_pc"
+    assert _serving_int8_mode("static", 2, 1024, 1024) == "static_pc"
+    assert _serving_int8_mode("static", 4, 768, 768) == "static_pc"
+    # non-"static" modes are never touched
+    for mode in (False, True, "static_pc"):
+        assert _serving_int8_mode(mode, 1, 512, 512) == mode
+    # sweeps pin the per-tensor path
+    monkeypatch.setenv("E4T_INT8_STATIC_EXCLUDE", "conv_shortcut")
+    assert _serving_int8_mode("static", 1, 512, 512) == "static"
+    monkeypatch.delenv("E4T_INT8_STATIC_EXCLUDE")
+    # explicit flavor selection wins in both directions
+    monkeypatch.setenv("E4T_INT8_ACT_PC", "0")
+    assert _serving_int8_mode("static", 1, 512, 512) == "static"
+    monkeypatch.setenv("E4T_INT8_ACT_PC", "1")
+    assert _serving_int8_mode("static", 8, 512, 512) == "static_pc"
+
+
 def test_static_pc_fold_exact_and_beats_per_tensor_on_outliers():
     """Per-channel static activation scales (act_pc): the calibrated
     per-channel range is folded into the kernel's contraction axis
