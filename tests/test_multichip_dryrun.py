@@ -10,6 +10,8 @@ before backend init; conftest pins this process at 8 devices).
 import os
 import sys
 
+import pytest
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __graft_entry__ as graft
@@ -17,3 +19,10 @@ import __graft_entry__ as graft
 
 def test_dryrun_16dev_tp_zero1():
     graft.dryrun_multichip(16, zero1=True)
+
+
+@pytest.mark.skipif(os.environ.get("E4T_TEST_POD32") != "1",
+                    reason="~8 min on a 1-vCPU host; run explicitly with "
+                           "E4T_TEST_POD32=1 (verified green 2026-08-20)")
+def test_dryrun_32dev_tp_zero1():
+    graft.dryrun_multichip(32, zero1=True)
