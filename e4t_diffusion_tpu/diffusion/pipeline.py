@@ -243,76 +243,72 @@ def _build_denoise_loop(modules: E4TModules, scheduler, num_steps: int,
 
 
 def _static_exclude_for(latents, act_pc: bool = False) -> Optional[tuple]:
-    """Regime-aware default for which UNet sites keep DYNAMIC activation
-    scales under static-act int8 (quant.UNET_STATIC_EXCLUDE rationale).
+    """Default for which UNet sites keep DYNAMIC activation scales under
+    static-act int8 (quant.UNET_STATIC_EXCLUDE rationale): ALL serving
+    regimes get the quality exclusions.
 
-    The dynamic abs-max is throughput-free but latency-hostile — each
-    excluded site serializes a full activation read + reduce→broadcast.
-    Measured (v5e, 2026-08-19, bench.py):
+    History: round 4 measured the exclusions latency-hostile at batch-1
+    512px (0.519 vs 0.944 img/s all-static) and batch-2 1024px (0.143
+    vs 0.180) and made this regime-aware (exclusions only at batch >= 4
+    / 512px). Round-5 re-measurement on a healthy relay OVERTURNED
+    those rows: batch-1 512px exclusions 0.9422 img/s (== 0.944
+    all-static, noise), DPM++-20 batch-1 2.1984 (fastest int8 config
+    measured, beating static_pc 2.1476 and bf16 2.0839). The round-4
+    latency rows were degraded-window artifacts (CLAUDE.md
+    "Environment degradation mode" was active that session). The
+    ~7 excluded sites' abs-max reductions fuse into the surrounding
+    ops at every measured batch/resolution; exclusions are free
+    everywhere, so their near-dynamic quality bound (DDIM-50 rel-L2
+    0.0570, DPM++-20 0.0691 vs 0.1057/0.2380 all-static) is a free
+    win everywhere. docs/KERNELS.md has the full story.
 
-      batch 8 / 512px: exclusions FREE (48.6 vs 48.8 ms unet fwd;
-        headline 1.6665) -> take the quality win (rel-L2 0.0566 vs
-        0.105 all-static)
-      batch 1 / 512px: exclusions cost 45% (0.519 vs 0.944 img/s
-        all-static; full-dynamic int8 is 0.234 — 4x worse than bf16)
-      batch 2 / 1024px: exclusions cost 21% (0.143 vs 0.180 all-static;
-        the abs-max reads ride 4x-larger activations)
-
-    So: the quality-improving exclusions apply only in the measured-free
-    regime (batch >= 4 at 512px); latency/hi-res regimes serve
-    all-static (quality bound rel-L2 0.105, flat per step — the
-    pre-round-4 default). E4T_INT8_STATIC_EXCLUDE (set, possibly empty)
-    overrides everything — returns None so quantize_params reads it.
-    Shapes are static at trace time, so this costs nothing in the jit.
+    E4T_INT8_STATIC_EXCLUDE (set, possibly empty) overrides — returns
+    None so quantize_params reads it. act_pc (the explicit --int8_pc_act
+    flavor) serves every site on its per-channel static scale: the
+    measured static_pc bounds (KERNELS.md table) are for that exact
+    config, and mixing dynamic sites into it would re-measure as a new
+    flavor. Shapes are static at trace time, so this costs nothing in
+    the jit.
     """
     if "E4T_INT8_STATIC_EXCLUDE" in _os.environ:
         return None
     if act_pc:
-        # per-channel static scales give each channel its own calibrated
-        # range, which is the failure mode the exclusions patch — serve
-        # all sites static in every regime (quality: int8_quality.py
-        # static_pc rows; env override above still applies for sweeps)
         return ()
     from e4t_diffusion_tpu.ops.quant import UNET_STATIC_EXCLUDE
 
-    batch, res = latents.shape[0], latents.shape[-1] * 8
-    return UNET_STATIC_EXCLUDE if (batch >= 4 and res == 512) else ()
+    return UNET_STATIC_EXCLUDE
 
 
 def _serving_int8_mode(int8, batch: int, height: int, width: int):
-    """Regime-aware serving default for the static-int8 FLAVOR: upgrade
-    ``int8="static"`` to ``"static_pc"`` (per-channel calibrated
-    activation scales, quant.quantize_params act_pc) exactly in the
-    regimes whose ``_static_exclude_for`` default is all-static —
-    batch < 4 or non-512px — where the quality exclusions are too
-    latency-expensive to serve.
+    """Serving default for the static-int8 FLAVOR. ``int8="static"``
+    now serves per-tensor static + the dynamic-scale quality exclusions
+    in EVERY regime (``_static_exclude_for``): round-5 re-measurement
+    overturned the round-4 rows that made the exclusions look
+    latency-hostile at small batch / hi-res (see _static_exclude_for),
+    so the regime-aware upgrade to ``"static_pc"`` that round 5
+    introduced for those regimes is retired the same day — exclusions
+    dominate static_pc on both axes wherever both were measured
+    (batch-1 512px DDIM-50: 0.9422 vs 0.943 img/s with bound 0.0570 vs
+    0.0970; batch-1 DPM++-20: 2.1984 vs 2.1476 with 0.0691 vs 0.1827).
 
-    Measured (v5e, 2026-08-20, bench.py + scripts/int8_quality.py):
-    static_pc costs the SAME as plain all-static there (batch-1 512px
-    0.943 vs 0.944 img/s/chip; 1024px batch-2 0.1792 vs 0.1804 — the
-    fold is a broadcast divide, zero extra reductions) with strictly
-    better quality bounds (DDIM-50 final-latent rel-L2 0.0970 vs
-    0.1057; DPM++ 20-step 0.1827 vs 0.2380), so it dominates
-    all-static wherever it applies. The throughput regime (batch >= 4
-    at 512px) keeps per-tensor static + dynamic-scale exclusions:
-    near-dynamic quality (0.0570) at no cost, while static_pc measured
-    3% slower there (1.6187 vs 1.6675 img/s batch-8 — its once-per-run
-    fold multiplies the full param set).
+    ``static_pc`` remains an explicit flavor (--int8_pc_act /
+    E4T_INT8_ACT_PC / E4T_BENCH_INT8=static_pc) — measured bounds in
+    docs/KERNELS.md; it is the better ALL-STATIC config (no dynamic
+    reductions anywhere, −23% DPM++ error vs per-tensor all-static)
+    for deployments that pin E4T_INT8_STATIC_EXCLUDE= empty.
 
-    Explicit pins win: E4T_INT8_ACT_PC selects the flavor directly,
-    and a set E4T_INT8_STATIC_EXCLUDE (attribution sweeps) disables
-    the upgrade so swept exclusions act on the per-tensor path.
+    The batch/height/width arguments are kept so any future
+    regime-dependent flavor choice lands here again with its call
+    sites already wired.
     """
+    del batch, height, width  # no measured regime dependence (round 5)
     if int8 != "static":
         return int8
     if "E4T_INT8_ACT_PC" in _os.environ:
         truthy = _os.environ["E4T_INT8_ACT_PC"].lower() not in (
             "0", "false", "")
         return "static_pc" if truthy else "static"
-    if "E4T_INT8_STATIC_EXCLUDE" in _os.environ:
-        return int8
-    throughput = batch >= 4 and height == 512 and width == 512
-    return "static" if throughput else "static_pc"
+    return int8
 
 
 def make_sample_fn(modules: E4TModules, scheduler, num_inference_steps: int,

@@ -121,18 +121,23 @@ def parse_args():
                              "scales on a short trajectory at the first "
                              "prompt (E4T_INT8_CALIB_STEPS, default 8) "
                              "and skip the per-call activation abs-max "
-                             "reductions for all prompts. In latency "
-                             "(batch<4) / hi-res (non-512px) regimes "
-                             "this auto-upgrades to per-channel scales "
-                             "(--int8_pc_act semantics — same cost, "
-                             "better bound; pin with E4T_INT8_ACT_PC)")
+                             "reductions for all prompts except the "
+                             "clip-prone residual-conv sites, which "
+                             "stay on dynamic scales in every regime "
+                             "(measured free; near-dynamic quality — "
+                             "docs/KERNELS.md; E4T_INT8_STATIC_EXCLUDE "
+                             "overrides the site list)")
     parser.add_argument("--int8_pc_act", action="store_true",
                         help="with --int8_static_act: PER-CHANNEL "
                              "calibrated activation scales, folded into "
                              "the int8 kernels' contraction axis "
-                             "(quant.quantize_params act_pc) — all-"
-                             "static serving cost with near-dynamic "
-                             "quality, no regime exclusions needed")
+                             "(quant.quantize_params act_pc) — the "
+                             "best ALL-static flavor (every site "
+                             "static, zero dynamic reductions; "
+                             "E4T_INT8_PC_ALPHA tunes the fold). The "
+                             "default static+exclusions config bounds "
+                             "tighter at equal speed; see "
+                             "docs/KERNELS.md")
     parser.add_argument("--act_scales", type=str, default=None,
                         help="with --int8_static_act: JSON file of "
                              "calibrated activation ranges. Loaded if it "

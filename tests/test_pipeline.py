@@ -197,19 +197,20 @@ def test_pipeline_rejects_negative_prompt(tiny_setup):
 
 def test_pipeline_call_applies_regime_int8_upgrade(tiny_setup,
                                                    monkeypatch):
-    """__call__ threads the regime-resolved static-int8 flavor into
-    make_sample_fn: an int8="static" pipeline at a latency-regime shape
-    (batch 1, non-512px tiny geometry) must trace the "static_pc"
-    program (pipeline._serving_int8_mode), and the generated image must
-    still track bf16 (the per-channel path end-to-end through the
-    public API, not just make_sample_fn)."""
+    """__call__ threads the resolved static-int8 flavor into
+    make_sample_fn: with the explicit E4T_INT8_ACT_PC=1 pin an
+    int8="static" pipeline must trace the "static_pc" program
+    (pipeline._serving_int8_mode — the only remaining flavor switch
+    after round 5 retired the regime auto-upgrade), and the generated
+    image must still track bf16 (the per-channel path end-to-end
+    through the public API, not just make_sample_fn)."""
     from e4t_diffusion_tpu.diffusion import pipeline as pl
 
     pipe, image = tiny_setup
     ref = pipe("a photo of *s", image, num_inference_steps=2, seed=11)
 
     monkeypatch.delenv("E4T_INT8_STATIC_EXCLUDE", raising=False)
-    monkeypatch.delenv("E4T_INT8_ACT_PC", raising=False)
+    monkeypatch.setenv("E4T_INT8_ACT_PC", "1")
     q_pipe = pl.StableDiffusionE4TPipeline(
         pipe.modules, pipe.params, pipe.tokenizer, pipe.e4t_config,
         already_added_placeholder_token=True, int8="static")

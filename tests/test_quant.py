@@ -509,10 +509,11 @@ def test_unet_static_exclude_default(tiny_unet_world, monkeypatch):
 
 
 def test_static_exclude_regime(monkeypatch):
-    """_static_exclude_for: quality exclusions only in the measured-free
-    regime (batch >= 4 at 512px); latency (batch < 4) and hi-res
-    (>512px) serve all-static; env override wins (returns None so
-    quantize_params reads the env)."""
+    """_static_exclude_for: the quality exclusions apply in EVERY
+    regime (round-5 re-measurement overturned the round-4 latency
+    rows — exclusions are free at batch 1 and 1024px too); the
+    explicit static_pc flavor serves all sites static; env override
+    wins (returns None so quantize_params reads the env)."""
     import jax.numpy as jnp
 
     from e4t_diffusion_tpu.diffusion.pipeline import _static_exclude_for
@@ -520,43 +521,35 @@ def test_static_exclude_regime(monkeypatch):
 
     monkeypatch.delenv("E4T_INT8_STATIC_EXCLUDE", raising=False)
     lat = lambda b, res: jnp.zeros((b, 4, res // 8, res // 8))
-    assert _static_exclude_for(lat(8, 512)) == UNET_STATIC_EXCLUDE
-    assert _static_exclude_for(lat(4, 512)) == UNET_STATIC_EXCLUDE
-    assert _static_exclude_for(lat(1, 512)) == ()
-    assert _static_exclude_for(lat(2, 1024)) == ()
-    assert _static_exclude_for(lat(4, 768)) == ()
+    for shape in ((8, 512), (4, 512), (1, 512), (2, 1024), (4, 768)):
+        assert _static_exclude_for(lat(*shape)) == UNET_STATIC_EXCLUDE
+    assert _static_exclude_for(lat(1, 512), act_pc=True) == ()
     monkeypatch.setenv("E4T_INT8_STATIC_EXCLUDE", "conv_shortcut")
     assert _static_exclude_for(lat(8, 512)) is None
 
 
 def test_serving_int8_mode_regime_upgrade(monkeypatch):
-    """_serving_int8_mode: "static" upgrades to per-channel scales
-    exactly where the exclusion default is all-static (batch < 4 or
-    non-512px — measured cost parity, strictly better bound); the
-    throughput regime and every non-"static" mode pass through; env
-    pins win (explicit E4T_INT8_ACT_PC selects the flavor, a set
-    E4T_INT8_STATIC_EXCLUDE disables the upgrade for sweeps)."""
+    """_serving_int8_mode: "static" passes through in EVERY regime
+    (the round-5 static_pc auto-upgrade was retired the same round
+    once re-measurement showed the exclusions are free at small
+    batch / hi-res and dominate static_pc on both axes); only the
+    explicit E4T_INT8_ACT_PC pin selects the per-channel flavor."""
     from e4t_diffusion_tpu.diffusion.pipeline import _serving_int8_mode
 
     monkeypatch.delenv("E4T_INT8_STATIC_EXCLUDE", raising=False)
     monkeypatch.delenv("E4T_INT8_ACT_PC", raising=False)
-    assert _serving_int8_mode("static", 8, 512, 512) == "static"
-    assert _serving_int8_mode("static", 4, 512, 512) == "static"
-    assert _serving_int8_mode("static", 1, 512, 512) == "static_pc"
-    assert _serving_int8_mode("static", 2, 1024, 1024) == "static_pc"
-    assert _serving_int8_mode("static", 4, 768, 768) == "static_pc"
+    for batch, res in ((8, 512), (4, 512), (1, 512), (2, 1024),
+                       (4, 768)):
+        assert _serving_int8_mode("static", batch, res, res) == "static"
     # non-"static" modes are never touched
     for mode in (False, True, "static_pc"):
         assert _serving_int8_mode(mode, 1, 512, 512) == mode
-    # sweeps pin the per-tensor path
-    monkeypatch.setenv("E4T_INT8_STATIC_EXCLUDE", "conv_shortcut")
-    assert _serving_int8_mode("static", 1, 512, 512) == "static"
-    monkeypatch.delenv("E4T_INT8_STATIC_EXCLUDE")
     # explicit flavor selection wins in both directions
-    monkeypatch.setenv("E4T_INT8_ACT_PC", "0")
-    assert _serving_int8_mode("static", 1, 512, 512) == "static"
     monkeypatch.setenv("E4T_INT8_ACT_PC", "1")
     assert _serving_int8_mode("static", 8, 512, 512) == "static_pc"
+    assert _serving_int8_mode("static", 1, 512, 512) == "static_pc"
+    monkeypatch.setenv("E4T_INT8_ACT_PC", "0")
+    assert _serving_int8_mode("static", 1, 512, 512) == "static"
 
 
 def test_static_pc_fold_exact_and_beats_per_tensor_on_outliers():
