@@ -26,12 +26,13 @@ large inference lever. Scheme (standard symmetric PTQ):
   where trajectories outgrow the calibration; both effects are
   per-channel under ``sac``). Exactness: ``x @ W = (x/s_c) @ (W*s_c)``
   — the fold is algebraic, only the two roundings differ. The fold
-  exponent is SmoothQuant-style ``E4T_INT8_PC_ALPHA`` (default 0.5:
-  the divisor is ``a_c^0.5 * max_c(a_c^0.5)/127``) — a full fold
-  (alpha=1) pushes outlier channels into the weight where per-output
-  scales can't absorb them; 0.5 measured 5.1x better than per-tensor
-  and 2.3x better than alpha=1 on a 50x-outlier channel
-  (tests/test_quant.py::test_static_pc_fold...);
+  exponent is SmoothQuant-style ``E4T_INT8_PC_ALPHA`` (default 0.75:
+  the divisor is ``a_c^0.75 * max_c(a_c^0.25)/127``) — on a synthetic
+  50x-outlier channel a full fold (alpha=1) pushes the outlier into
+  the weight where per-output scales can't absorb it and 0.5 wins
+  (tests/test_quant.py::test_static_pc_fold...), but on the real
+  SD-v1 net the round-5 alpha sweep measured 0.75 best under DDIM-50
+  and alpha monotone-improving under DPM++-20 (docs/KERNELS.md);
 - GroupNorm/LayerNorm/SiLU/softmax and the flash-attention inner math
   stay bf16/f32.
 
@@ -179,9 +180,11 @@ def quantize_params(tree: dict, act_amax: Optional[dict] = None,
         act_pc = os.environ.get("E4T_INT8_ACT_PC", "0").lower() not in (
             "0", "false", "")
     # E4T_INT8_PC_ALPHA: 0 = per-tensor static, 1 = full per-channel
-    # fold; 0.5 (default) balances activation clipping against the
-    # weight-range inflation the fold causes (see the fold site below)
-    pc_alpha = float(os.environ.get("E4T_INT8_PC_ALPHA", "0.5"))
+    # fold. Default 0.75 — the round-5 SD-v1 sweep measured quality
+    # near-monotone in alpha (DDIM-50 rel-L2 0.0970/0.0765/0.0812 and
+    # DPM++-20 0.1827/0.1565/0.1405 at 0.5/0.75/1.0): 0.75 is the DDIM
+    # optimum and second-best under DPM++ (docs/KERNELS.md alpha table)
+    pc_alpha = float(os.environ.get("E4T_INT8_PC_ALPHA", "0.75"))
     if exclude is None:
         env = os.environ.get("E4T_INT8_EXCLUDE")
         exclude = (tuple(x for x in env.split(",") if x)
@@ -210,9 +213,11 @@ def quantize_params(tree: dict, act_amax: Optional[dict] = None,
                     # full fold (alpha=1) transfers the outlier channel
                     # into the weight, where the per-OUTPUT-channel
                     # weight scale can't absorb it (measured 2.3x worse
-                    # than alpha=0.5 on a 50x-outlier; alpha=0 is plain
-                    # per-tensor). Serving cost is alpha-independent:
-                    # only the sac values change.
+                    # than alpha=0.5 on a synthetic 50x-outlier;
+                    # alpha=0 is plain per-tensor — but the real SD-v1
+                    # net favors heavy folds, see the default's
+                    # rationale above). Serving cost is
+                    # alpha-independent: only the sac values change.
                     amax_c = jnp.maximum(
                         jnp.asarray(calib["amax_c"], jnp.float32)
                         * act_headroom, _EPS)

@@ -552,16 +552,19 @@ def test_serving_int8_mode_regime_upgrade(monkeypatch):
     assert _serving_int8_mode("static", 1, 512, 512) == "static"
 
 
-def test_static_pc_fold_exact_and_beats_per_tensor_on_outliers():
+def test_static_pc_fold_exact_and_beats_per_tensor_on_outliers(
+        monkeypatch):
     """Per-channel static activation scales (act_pc): the calibrated
     per-channel range is folded into the kernel's contraction axis
     (x @ W = (x/s_c) @ (W*s_c)), so serving costs the same as per-tensor
     static (broadcast divide, no reduction) while channel outliers keep
     their own resolution. On an input with one 50x-outlier channel the
     per-tensor static scale burns ~all int8 resolution on that channel;
-    the balanced fold (E4T_INT8_PC_ALPHA default 0.5) must cut the
+    the balanced alpha=0.5 fold (pinned — the serving DEFAULT is 0.75,
+    chosen on the round-5 real-net sweep, docs/KERNELS.md) must cut the
     error by >3x (measured 5.1x; the full alpha=1 fold only reaches
     2.2x — the folded outlier inflates the weight range instead)."""
+    monkeypatch.setenv("E4T_INT8_PC_ALPHA", "0.5")
     rng = np.random.default_rng(42)
     x_np = rng.normal(size=(16, 64)).astype(np.float32)
     x_np[:, 7] *= 50.0  # the outlier channel
