@@ -170,13 +170,17 @@ def main(wait=wait_for_backend):
     sched_env = os.environ.get("E4T_BENCH_SCHEDULER")
     for int8 in configs:
         _run_config(int8, batch, scheduler=sched_env)
-    # Default run (no explicit scheduler/int8 selection): append the
+    # Default run (no explicit config selection AT ALL): append the
     # validated fast-sampler serving row — DPM++ 2M 20-step int8-static,
     # the standard quality-preserving fast config (docs/KERNELS.md) and
     # the repo's best measured serving number — LAST so the recorded
-    # headline is the best config.
-    if int8_env == "both" and sched_env is None \
-            and "E4T_BENCH_STEPS" not in os.environ:
+    # headline is the best config. ANY explicit knob (int8 flavor,
+    # scheduler, steps, resolution, batch) suppresses it: a sweep that
+    # sets only E4T_BENCH_RES/BATCH must get exactly the configs it
+    # asked for, not a surprise tail line (round-5 review finding).
+    if int8_env == "both" and sched_env is None and not any(
+            k in os.environ for k in ("E4T_BENCH_STEPS", "E4T_BENCH_RES",
+                                      "E4T_BENCH_BATCH")):
         _run_config("static", batch, scheduler="dpmpp", steps=20)
 
 

@@ -305,9 +305,9 @@ def _serving_int8_mode(int8, batch: int, height: int, width: int):
     if int8 != "static":
         return int8
     if "E4T_INT8_ACT_PC" in _os.environ:
-        truthy = _os.environ["E4T_INT8_ACT_PC"].lower() not in (
-            "0", "false", "")
-        return "static_pc" if truthy else "static"
+        from e4t_diffusion_tpu.ops.quant import env_truthy
+
+        return "static_pc" if env_truthy("E4T_INT8_ACT_PC") else "static"
     return int8
 
 
@@ -435,9 +435,8 @@ def make_sample_fn(modules: E4TModules, scheduler, num_inference_steps: int,
             params_eff = quantize_params(
                 params_eff, act_amax=act_amax,
                 act_pc=(int8 == "static_pc"),
-                # regime-aware default (quality exclusions only where
-                # they measured free; none under per-channel scales);
-                # env overrides for sweeps
+                # quality exclusions in every regime (none under the
+                # per-channel flavor); env overrides for sweeps
                 static_exclude=_static_exclude_for(
                     latents, act_pc=(int8 == "static_pc")))
 
@@ -766,13 +765,20 @@ class StableDiffusionE4TPipeline:
                 latents = jax.random.normal(rng, shape1, jnp.float32)
         latents = jnp.asarray(latents)
 
-        # regime-aware static-int8 flavor (the upgrade is trace-time
-        # only — the calibration tree carries both per-tensor and
-        # per-channel ranges, so one pipeline serves every regime)
+        # resolve the static-int8 flavor at call time (the calibration
+        # tree carries both per-tensor and per-channel ranges, so one
+        # pipeline can serve either). The resolved mode AND the
+        # trace-time exclusion env must be part of the cache key:
+        # E4T_INT8_ACT_PC / E4T_INT8_STATIC_EXCLUDE are documented
+        # sweep knobs that may flip between calls on a live pipeline,
+        # and a stale cached program would silently serve the old
+        # flavor (round-5 review finding).
         int8_mode = _serving_int8_mode(self.int8, b, height, width)
         key = (scheduler.__class__.__name__, num_inference_steps,
                float(guidance_scale), float(des), b, float(eta),
-               height, width, output_type == "latent", self.lora_scale)
+               height, width, output_type == "latent", self.lora_scale,
+               int8_mode,
+               _os.environ.get("E4T_INT8_STATIC_EXCLUDE"))
         if key not in self._fn_cache:
             self._fn_cache[key] = make_sample_fn(
                 modules, scheduler, num_inference_steps, guidance_scale, des,

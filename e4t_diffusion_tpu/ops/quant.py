@@ -78,6 +78,15 @@ _EPS = 1e-8
 _CALIBRATING = False
 
 
+def env_truthy(name: str, default: str = "0") -> bool:
+    """Shared truthiness parse for the int8 env knobs (one definition —
+    pipeline._serving_int8_mode and quantize_params must agree on what
+    counts as enabled; round-5 review finding)."""
+    import os
+
+    return os.environ.get(name, default).lower() not in ("0", "false", "")
+
+
 @contextlib.contextmanager
 def calibration_trace():
     """Enable activation-range recording for code traced inside the
@@ -177,8 +186,7 @@ def quantize_params(tree: dict, act_amax: Optional[dict] = None,
         act_headroom = float(os.environ.get("E4T_INT8_CALIB_HEADROOM",
                                             "1.0"))
     if act_pc is None:
-        act_pc = os.environ.get("E4T_INT8_ACT_PC", "0").lower() not in (
-            "0", "false", "")
+        act_pc = env_truthy("E4T_INT8_ACT_PC")
     # E4T_INT8_PC_ALPHA: 0 = per-tensor static, 1 = full per-channel
     # fold. Default 0.75 — the round-5 SD-v1 sweep measured quality
     # near-monotone in alpha (DDIM-50 rel-L2 0.0970/0.0765/0.0812 and

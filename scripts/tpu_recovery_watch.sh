@@ -30,7 +30,10 @@ while true; do
     echo "--- $(date -u +%FT%TZ) canary try ---"
     out=$(try_canary); rc=$?
     echo "$out" | tail -6
-    if [ $rc -eq 0 ] && echo "$out" | grep -q '"metric"'; then
+    # no pipe here: under pipefail, `echo | grep -q` can return 141
+    # (grep exits at first match -> echo gets EPIPE) and fail a
+    # genuinely passed canary (round-5 review finding)
+    if [ $rc -eq 0 ] && [[ "$out" == *'"metric"'* ]]; then
         echo "### CANARY PASSED $(date -u +%FT%TZ) — running full matrix ###"
         for cfg in \
             "bench_tuning.py E4T_TUNE_BATCH=16 E4T_TUNE_MICRO=4" \

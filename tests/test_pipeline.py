@@ -232,3 +232,35 @@ def test_pipeline_call_applies_regime_int8_upgrade(tiny_setup,
     out = np.asarray(out)
     assert np.isfinite(out).all()
     assert np.abs(out - np.asarray(ref)).mean() < 0.15
+
+
+def test_pipeline_fn_cache_keys_on_resolved_int8_flavor(tiny_setup,
+                                                        monkeypatch):
+    """Flipping E4T_INT8_ACT_PC between calls on a LIVE pipeline must
+    re-trace with the new flavor, not serve the stale cached program
+    (the fn cache keys on the RESOLVED mode + exclusion env — round-5
+    review finding: before the fix the first-traced flavor won
+    silently, so env sweeps recorded mislabeled numbers)."""
+    from e4t_diffusion_tpu.diffusion import pipeline as pl
+
+    pipe, image = tiny_setup
+    monkeypatch.delenv("E4T_INT8_STATIC_EXCLUDE", raising=False)
+    monkeypatch.delenv("E4T_INT8_ACT_PC", raising=False)
+    q_pipe = pl.StableDiffusionE4TPipeline(
+        pipe.modules, pipe.params, pipe.tokenizer, pipe.e4t_config,
+        already_added_placeholder_token=True, int8="static")
+    seen = []
+    real = pl.make_sample_fn
+
+    def spy(*args, **kwargs):
+        seen.append(kwargs.get("int8"))
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(pl, "make_sample_fn", spy)
+    q_pipe("a photo of *s", image, num_inference_steps=2, seed=3)
+    monkeypatch.setenv("E4T_INT8_ACT_PC", "1")
+    q_pipe("a photo of *s", image, num_inference_steps=2, seed=3)
+    assert seen == ["static", "static_pc"], seen
+    # and the unchanged-env repeat still cache-hits (no third trace)
+    q_pipe("a photo of *s", image, num_inference_steps=2, seed=3)
+    assert len(seen) == 2, seen
