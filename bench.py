@@ -19,8 +19,9 @@ the calibrated-static-int8 DDIM-50 config second, then the DPM++ 2M
 config) LAST, so the recorded headline is the best number while the
 conservative configs stay visible. Select a single config with
 E4T_BENCH_INT8 (0 = bf16 only, 1 = dynamic int8, static = calibrated
-static int8) and/or E4T_BENCH_SCHEDULER/E4T_BENCH_STEPS (setting any of
-these suppresses the extra DPM++ row).
+static int8, static_pc = per-channel). Setting ANY explicit knob
+(E4T_BENCH_INT8/SCHEDULER/STEPS/RES/BATCH) suppresses the extra DPM++
+row — sweeps get exactly the configs they select.
 
 Env knobs: E4T_BENCH_BATCH (default 8), E4T_BENCH_STEPS (50),
 E4T_BENCH_RES (512), E4T_BENCH_REPEATS (3), E4T_BENCH_INT8 (see above),
